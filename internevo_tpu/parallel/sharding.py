@@ -1,0 +1,188 @@
+"""Logical-axis sharding rules: the TPU-native replacement for the reference's
+parallel linears + hand-written collectives.
+
+The reference implements each tensor-parallel mode as a different Linear class
+with hand-written autograd collectives (InternEvo ``internlm/model/ops/linear.py``,
+``internlm/model/utils.py:228-659``).  Here every parameter and activation carries
+*logical* axis names; one rules table per tp mode maps logical axes → mesh axes,
+and GSPMD inserts (and overlaps) the collectives.
+
+Logical axes
+------------
+params:       "vocab", "embed", "mlp", "qkv", "kv", "heads_in", "norm", "layer",
+              "expert", "moe_mlp"
+activations:  "batch", "seq", "act_embed", "act_heads", "act_vocab"
+
+Mode mapping (mesh axes pp/dp/zero/tp — see ``core/context.py``):
+
+- ``mtp``  (Megatron TP, ref `model/utils.py:349-463`): weights column/row split
+  over ``tp`` ("vocab"/"mlp"/"qkv"→tp), activations replicated over tp.
+- ``msp``/``fsp`` (Megatron TP + sequence parallel, ref `model/utils.py:228-346`):
+  same weight layout; activations *between* blocks are sequence-sharded over
+  ``tp`` ("seq"→tp).  XLA all-gathers the sequence before the column matmuls and
+  reduce-scatters after the row matmuls — exactly the hand-written pattern in
+  the reference.  msp-vs-fsp (save gathered x vs re-gather in backward) is a
+  rematerialization policy, not a sharding difference; see solver remat policies.
+- ``isp``  (Intern/Ulysses sequence parallel + decoupled weight parallel, ref
+  `core/communication/isp.py`, `modules/multi_head_attention.py:27-135`):
+  activations sequence-sharded over ``tp`` through the whole network; attention
+  resharding "seq→heads" before the kernel and back after makes GSPMD emit the
+  two all-to-alls per layer.  Weights are ZeRO-3-style sharded over the WEIGHT
+  group ``(zero, tp)`` and all-gathered just-in-time (XLA's latency-hiding
+  scheduler overlaps the gathers with compute, replacing the reference's
+  hand-rolled ``ISPCommunicator`` prefetch hooks).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.context import DP, PP, TP, ZERO
+
+# Unsharded marker
+_R = None
+
+# logical axis -> mesh axes, per tp mode.
+# "layer" is the stacked-scan leading axis; sharded over pp when pipelining.
+PARAM_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
+    "mtp": {
+        "vocab": (TP,),
+        "embed": None,
+        "mlp": (TP,),
+        "qkv": (TP,),
+        "kv": (TP,),
+        "heads_in": (TP,),   # row-parallel input dim (out_proj, w2)
+        "norm": None,
+        "layer": None,
+        "expert": (ZERO,),
+        "moe_mlp": None,
+        "embed_out": (TP,),  # Embedding1D is vocab-full, hidden-split (ref embedding.py:17)
+    },
+    "isp": {
+        # no tensor-parallel math: weights fully gathered at use; storage sharded
+        # ZeRO-3-style over the weight group (zero, tp) on the largest dim.
+        "vocab": (ZERO, TP),
+        "embed": None,
+        "mlp": (ZERO, TP),
+        "qkv": (ZERO, TP),
+        "kv": (ZERO, TP),
+        "heads_in": (ZERO, TP),
+        "norm": None,
+        "layer": None,
+        "expert": (ZERO,),
+        "moe_mlp": None,
+        "embed_out": (ZERO, TP),
+    },
+}
+PARAM_RULES["msp"] = PARAM_RULES["mtp"]
+PARAM_RULES["fsp"] = PARAM_RULES["mtp"]
+
+ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
+    "mtp": {
+        "batch": (DP, ZERO),
+        "seq": None,
+        "act_embed": None,
+        "act_heads": (TP,),
+        "act_mlp": (TP,),
+        "act_vocab": (TP,),
+    },
+    "msp": {
+        "batch": (DP, ZERO),
+        "seq": (TP,),        # sequence-sharded between blocks
+        "act_embed": None,
+        "act_heads": (TP,),
+        "act_mlp": (TP,),
+        "act_vocab": (TP,),
+    },
+    "isp": {
+        "batch": (DP, ZERO),
+        "seq": (TP,),        # sequence-sharded everywhere
+        "act_embed": None,
+        "act_heads": (TP,),  # inside attention after the a2a reshard
+        "act_mlp": None,
+        "act_vocab": (TP,),
+    },
+}
+ACT_RULES["fsp"] = ACT_RULES["msp"]
+
+
+@dataclasses.dataclass
+class ShardingRules:
+    """Resolves logical axis names to PartitionSpecs for the active mesh/mode."""
+
+    mesh: Optional[Mesh] = None
+    tp_mode: str = "mtp"
+    pipeline_parallel: bool = False
+
+    def param_spec(self, *logical_axes: Optional[str]) -> P:
+        rules = PARAM_RULES[self.tp_mode]
+        return self._resolve(rules, logical_axes)
+
+    def act_spec(self, *logical_axes: Optional[str]) -> P:
+        rules = ACT_RULES[self.tp_mode]
+        return self._resolve(rules, logical_axes)
+
+    def _resolve(self, rules, logical_axes) -> P:
+        parts = []
+        used: set[str] = set()
+        for ax in logical_axes:
+            if ax is None:
+                parts.append(None)
+                continue
+            mesh_axes = rules.get(ax)
+            if ax == "layer" and self.pipeline_parallel:
+                mesh_axes = (PP,)
+            if mesh_axes is None:
+                parts.append(None)
+                continue
+            # never assign the same mesh axis to two tensor dims
+            free = tuple(m for m in mesh_axes if m not in used)
+            used.update(free)
+            parts.append(free if len(free) > 1 else (free[0] if free else None))
+        while parts and parts[-1] is None:
+            parts.pop()
+        return P(*parts)
+
+    def sharding(self, spec: P) -> Optional[NamedSharding]:
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, spec)
+
+    def constrain(self, x, *logical_axes: Optional[str]):
+        """Annotate an activation with a sharding constraint (no-op without mesh)."""
+        if self.mesh is None:
+            return x
+        spec = self.act_spec(*logical_axes)
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
+
+    def constrain_spec(self, x, spec: P):
+        if self.mesh is None:
+            return x
+        return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
+
+
+# Module-level active rules, set by the train glue; models read it at trace time.
+_ACTIVE = ShardingRules()
+
+
+def set_rules(rules: ShardingRules) -> None:
+    global _ACTIVE
+    _ACTIVE = rules
+
+
+def get_rules() -> ShardingRules:
+    return _ACTIVE
+
+
+def current_rules_from_context() -> ShardingRules:
+    from ..core.context import gpc
+
+    return ShardingRules(
+        mesh=gpc.mesh,
+        tp_mode=gpc.tensor_mode,
+        pipeline_parallel=(gpc.sizes.pp > 1) if gpc.sizes else False,
+    )
