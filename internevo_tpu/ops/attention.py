@@ -1,0 +1,101 @@
+"""Packed (varlen) causal attention with segment ids.
+
+Parity: the reference runs flash-attn's varlen kernels over packed sequences
+described by ``cu_seqlens`` (``internlm/model/modules/multi_head_attention.py:568-582``,
+``flash_attn_varlen_kvpacked_func``).  On TPU the idiomatic encoding is
+*segment ids*: a per-token integer marking which packed sample the token belongs
+to; attention masks out cross-segment pairs.  ``cu_seqlens -> segment_ids`` is a
+collater-side transform (see ``data/collaters.py``).
+
+Two implementations behind one signature:
+- ``attention_reference``: jnp, O(S^2) mask materialization — used in tests and
+  as the numerical oracle.
+- Pallas flash attention (``ops/pallas/flash_attention.py``): blocked
+  online-softmax kernel, used on TPU for real sequence lengths.
+
+GQA is handled by repeating kv heads; MQA/GQA-aware Pallas kernel avoids the
+materialized repeat.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_USE_PALLAS = None
+
+
+def use_pallas() -> bool:
+    """Pallas kernels on real TPU; jnp fallback on CPU (tests)."""
+    global _USE_PALLAS
+    if _USE_PALLAS is None:
+        env = os.environ.get("IEVO_USE_PALLAS")
+        if env is not None:
+            _USE_PALLAS = env not in ("0", "false", "False")
+        else:
+            _USE_PALLAS = jax.default_backend() not in ("cpu",)
+    return _USE_PALLAS
+
+
+def set_use_pallas(flag: Optional[bool]) -> None:
+    global _USE_PALLAS
+    _USE_PALLAS = flag
+
+
+def _repeat_kv(x: jax.Array, n_rep: int) -> jax.Array:
+    if n_rep == 1:
+        return x
+    b, s, h, d = x.shape
+    return jnp.broadcast_to(x[:, :, :, None, :], (b, s, h, n_rep, d)).reshape(b, s, h * n_rep, d)
+
+
+def attention_reference(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+) -> jax.Array:
+    """q: (B, S, Hq, D); k/v: (B, S, Hkv, D); segment_ids: (B, S) int32.
+
+    fp32 softmax like flash-attn; returns q.dtype.
+    """
+    b, s, hq, d = q.shape
+    hkv = k.shape[2]
+    k = _repeat_kv(k, hq // hkv)
+    v = _repeat_kv(v, hq // hkv)
+    scale = softmax_scale if softmax_scale is not None else d**-0.5
+
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+
+    mask = jnp.ones((s, s), dtype=bool)
+    if causal:
+        mask = jnp.tril(mask)
+    mask = mask[None, None, :, :]
+    if segment_ids is not None:
+        seg_mask = segment_ids[:, None, :, None] == segment_ids[:, None, None, :]
+        mask = jnp.logical_and(mask, seg_mask)
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+) -> jax.Array:
+    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere."""
+    if use_pallas():
+        from .pallas.flash_attention import flash_attention as pallas_flash
+
+        return pallas_flash(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)
+    return attention_reference(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)
