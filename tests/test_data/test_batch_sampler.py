@@ -1,0 +1,71 @@
+"""StaticBatchSampler rampup + exact-resume semantics.
+
+Parity: reference ``tests/test_data/test_batch_sampler.py`` — rampup schedule
+and resume-from-state_dict equality.
+"""
+
+import numpy as np
+
+from internevo_tpu.data.batch_sampler import StaticBatchSampler
+
+
+class _FakeDs:
+    def __init__(self, n):
+        self.n = n
+
+    def __len__(self):
+        return self.n
+
+
+def _collect(sampler, n):
+    out = []
+    it = iter(sampler)
+    for _ in range(n):
+        out.append(next(it).tolist())
+    return out
+
+
+def test_rampup_schedule():
+    """rampup '4 2 3': batch sizes 4,4,4,6,6,6,8,8,8,... capped at batch_size."""
+    s = StaticBatchSampler([_FakeDs(4000)], batch_size=8, rampup_batch_size="4 2 3",
+                           micro_bsz=1, seed=7)
+    sizes = [len(b) for b in _collect(s, 12)]
+    assert sizes == [4, 4, 4, 6, 6, 6, 8, 8, 8, 8, 8, 8]
+
+
+def test_no_rampup_full_batch():
+    s = StaticBatchSampler([_FakeDs(100)], batch_size=4, rampup_batch_size=None,
+                           micro_bsz=1, seed=7)
+    sizes = [len(b) for b in _collect(s, 5)]
+    assert sizes == [4] * 5
+
+
+def test_dp_rank_slicing_disjoint():
+    batches = {}
+    for rank in range(2):
+        s = StaticBatchSampler([_FakeDs(1000)], batch_size=4, rampup_batch_size=None,
+                               micro_bsz=1, seed=7, data_rank=rank, data_world_size=2)
+        batches[rank] = np.concatenate(_collect(s, 10))
+    assert set(batches[0]).isdisjoint(set(batches[1]))
+
+
+def test_resume_reproduces_stream():
+    s1 = StaticBatchSampler([_FakeDs(4000)], batch_size=8, rampup_batch_size="4 2 3",
+                            micro_bsz=1, seed=7)
+    consumed = _collect(s1, 5)
+    state = s1.state_dict()
+
+    s2 = StaticBatchSampler([_FakeDs(4000)], batch_size=8, rampup_batch_size="4 2 3",
+                            micro_bsz=1, seed=7)
+    s2.load_state_dict(state)
+    rest1 = _collect(s1, 5)
+    rest2 = _collect(s2, 5)
+    assert rest1 == rest2
+
+
+def test_copy_is_equivalent():
+    s1 = StaticBatchSampler([_FakeDs(4000)], batch_size=8, rampup_batch_size=None,
+                            micro_bsz=1, seed=3)
+    _collect(s1, 3)
+    s2 = s1.copy()
+    assert _collect(s1, 4) == _collect(s2, 4)
