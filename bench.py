@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Benchmark harness: one training-step throughput measurement on real hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline (BASELINE.md): InternEvo 7B on A100 does 4078 tokens/GPU/s = 193
+TFLOPS/GPU = 61.9% MFU (A100 bf16 peak 312).  A single v5e chip cannot hold 7B
+(bf16 params alone are 14GB), so the primary cross-hardware metric is MFU on
+the largest config that fits; tokens/sec/chip is reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+if os.environ.get("IEVO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IEVO_PLATFORM"])
+
+REFERENCE_MFU = 0.619  # A100 193/312, BASELINE.md headline
+
+
+def build_bench_config(preset: str):
+    # ~700M InternLM-style model: fits one v5e-16GB chip with fp32 adam state.
+    presets = {
+        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=4, ckpt=0.0),
+        "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=2, ckpt=0.0),
+        "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
+    }
+    return presets[preset]
+
+
+def main():
+    preset = os.environ.get("IEVO_BENCH_PRESET", "700m")
+    if jax.default_backend() == "cpu" and "IEVO_BENCH_PRESET" not in os.environ:
+        preset = "tiny"
+    p = build_bench_config(preset)
+
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import initialize_model, initialize_optimizer, initialize_trainer
+    from internevo_tpu.utils.common import device_peak_tflops
+
+    n_dev = len(jax.devices())
+    config = dict(
+        model_type="INTERNLM",
+        data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
+                  total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
+        model=dict(checkpoint=p["ckpt"], num_attention_heads=p["heads"], vocab_size=p["vocab"],
+                   embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
+                   num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5),
+        adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0, adam_eps=1e-8, weight_decay=0.01),
+        parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"), pipeline=dict(size=1), weight=dict(size=1)),
+    )
+    launch(config, seed=1024)
+
+    model, params = initialize_model()
+    opt_state, lr_sched, beta2_sched = initialize_optimizer(model, params)
+    trainer = initialize_trainer(model, params, opt_state, lr_sched, beta2_sched)
+
+    micro_num, micro_bsz, seq = p["micro_num"], p["micro_bsz"], p["seq"]
+    P_len = seq * micro_bsz
+    dp = gpc.sizes.dp_total
+    rng = np.random.RandomState(0)
+    batch = {
+        "input_ids": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
+        "segment_ids": jnp.ones((micro_num, dp, P_len), jnp.int32),
+        "indexes": jnp.asarray(np.tile(np.arange(seq, dtype=np.int32), (micro_num, dp, micro_bsz))),
+        "labels": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
+    }
+
+    # warmup (compile)
+    for _ in range(3):
+        metrics = trainer.execute_schedule(batch)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        metrics = trainer.execute_schedule(batch)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / n_steps
+
+    tokens_per_step = micro_num * dp * P_len
+    tgs = tokens_per_step / dt / n_dev
+
+    # model flops: 6*N_params*tokens + attention 12*L*h*s^2... use megatron formula
+    from internevo_tpu.utils.common import get_megatron_flops
+
+    tflops = get_megatron_flops(
+        dt, checkpoint=p["ckpt"] > 0, seq_len=seq, hidden_size=p["hidden"],
+        num_layers=p["layers"], vocab_size=p["vocab"],
+        global_batch_size=micro_num * micro_bsz * dp, global_world_size=n_dev,
+        mlp_ratio=8 / 3, use_swiglu=True,
+    )
+    peak = device_peak_tflops()
+    mfu = tflops / peak
+
+    print(json.dumps({
+        "metric": f"mfu_internlm_{preset}_seq{seq}",
+        "value": round(mfu * 100, 2),
+        "unit": "% MFU",
+        "vs_baseline": round(mfu / REFERENCE_MFU, 4),
+        "tgs_tokens_per_sec_per_chip": round(tgs, 1),
+        "tflops_per_chip": round(tflops, 2),
+        "peak_tflops": peak,
+        "step_time_s": round(dt, 4),
+        "device": jax.devices()[0].device_kind,
+        "n_devices": n_dev,
+        "loss": float(metrics["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,237 @@
+"""Checkpoint manager: periodic/snapshot saves, stop-file protocol, auto-resume.
+
+Parity: reference ``internlm/checkpoint/checkpoint_manager.py`` —
+``CheckpointManager`` (:217) with: save every N steps, alternating 2-slot
+snapshots at ``oss_snapshot_freq`` (:414-417), stop-file signal protocol where
++/-step in a file triggers save / save+quit (:331-403), auto-resume scanning
+storage for the latest ``.step``-stamped folder (:438-535), selective load via
+``CheckpointLoadMask`` over {model, sampler, optimizer, scheduler} (:166-198),
+and pluggable external-format loaders {internevo, llama, hf_llama}.
+
+TPU-native: array state is saved with orbax (sharded, async-capable) instead of
+per-rank ``model_tp{t}_pp{p}.pt`` shards — one logical checkpoint regardless of
+mesh shape, so resume works across topology changes for free (the reference
+asserts topology match, ``components.py:342-344``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import shutil
+import time
+from pathlib import Path
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+from ..core.context import gpc
+from ..utils.logger import get_logger
+from ..utils.storage_manager import get_storage_manager, init_storage_manager
+
+logger = get_logger(__name__)
+
+CKPT_SLOT_COUNT = 2  # alternating snapshot slots (ref :414)
+
+
+class CheckpointLoadMask:
+    """Which components to restore (ref :166-198); content like
+    ("model", "sampler", "optimizer", "scheduler", "all")."""
+
+    LOAD_CONTENT = ("model", "sampler", "optimizer", "scheduler")
+
+    def __init__(self, content: tuple):
+        self.load_set = set(map(str.lower, content))
+        if "all" in self.load_set:
+            self.load_set = set(self.LOAD_CONTENT)
+
+    def need_load(self, content: str) -> bool:
+        return content.lower() in self.load_set
+
+    def not_only_load(self, content: str) -> bool:
+        return content in self.load_set and len(self.load_set) > 1
+
+    def only_load(self, content: str) -> bool:
+        return {content} == self.load_set
+
+    def __str__(self):
+        return f"{self.load_set}"
+
+
+def try_load_internevo_ckpt(engine, train_state, ckpt_path: str, load_mask: CheckpointLoadMask):
+    """Load an internevo_tpu checkpoint directory into the engine/train_state."""
+    import orbax.checkpoint as ocp
+
+    path = Path(ckpt_path).resolve()
+    ckptr = ocp.StandardCheckpointer()
+    if load_mask.need_load("model"):
+        target = {"params": engine.params}
+        restored = ckptr.restore(path / "arrays_model", target)
+        engine.params = restored["params"]
+    if load_mask.need_load("optimizer"):
+        target = {"opt_state": engine.opt_state}
+        restored = ckptr.restore(path / "arrays_opt", target)
+        engine.opt_state = restored["opt_state"]
+    meta_file = path / "context.pkl"
+    if meta_file.exists():
+        with open(meta_file, "rb") as f:
+            meta = pickle.load(f)
+        if load_mask.need_load("sampler") and train_state is not None:
+            train_state.load_state_dict(meta["train_state"], train_dl=getattr(engine, "_train_dl", None))
+        elif train_state is not None and load_mask.need_load("model"):
+            # model-only fine-tune load keeps counters at zero (ref load_model_checkpoint)
+            pass
+        if load_mask.need_load("scheduler") and "lr_scheduler" in meta:
+            engine.lr_scheduler.load_state_dict(meta["lr_scheduler"])
+    return True
+
+
+LOAD_FUNC_DICT = {
+    "internevo": try_load_internevo_ckpt,
+}
+
+
+def register_load_func(name: str, fn):
+    LOAD_FUNC_DICT[name] = fn
+
+
+class CheckpointManager:
+    def __init__(self, ckpt_config, engine=None, train_state=None, train_dl=None, model_config=None):
+        self.ckpt_config = ckpt_config
+        self.enable_save_ckpt = ckpt_config.get("enable_save_ckpt", False)
+        self.checkpoint_every = ckpt_config.get("checkpoint_every", 50) or float("inf")
+        if self.checkpoint_every <= 0:
+            self.checkpoint_every = float("inf")
+        self.save_ckpt_folder = ckpt_config.get("save_ckpt_folder", None)
+        self.oss_snapshot_freq = ckpt_config.get("oss_snapshot_freq", 0) or 0
+        self.stop_file_path = ckpt_config.get("stop_file_path", None)
+        self.load_ckpt_info = ckpt_config.get("load_ckpt_info", None)
+        self.auto_resume = ckpt_config.get("auto_resume", True)
+        self.engine = engine
+        self.train_state = train_state
+        self.train_dl = train_dl
+        if engine is not None:
+            engine._train_dl = train_dl
+        self.model_config = model_config
+        init_storage_manager(
+            enable_save=self.enable_save_ckpt,
+            async_upload=ckpt_config.get("async_upload", True),
+            async_upload_tmp_folder=ckpt_config.get("async_upload_tmp_folder", None),
+        )
+
+    # ------------------------------------------------------------------ saving
+
+    def _save_path(self, step: int, snapshot_slot: Optional[int] = None) -> str:
+        base = self.save_ckpt_folder
+        if snapshot_slot is None:
+            return os.path.join(base, str(step))
+        return os.path.join(base, "snapshot", str(snapshot_slot))
+
+    def save_checkpoint(self, path: str, train_state=None):
+        import orbax.checkpoint as ocp
+
+        t0 = time.time()
+        path_p = Path(path)
+        storage = get_storage_manager()
+        if path_p.exists():
+            shutil.rmtree(path)
+        path_p.mkdir(parents=True, exist_ok=True)
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(path_p.resolve() / "arrays_model", {"params": self.engine.params})
+        ckptr.save(path_p.resolve() / "arrays_opt", {"opt_state": self.engine.opt_state})
+        ckptr.wait_until_finished()
+        meta = {
+            "train_state": (train_state or self.train_state).state_dict(),
+            "lr_scheduler": self.engine.lr_scheduler.state_dict(),
+            "model_config": dict(self.model_config) if self.model_config else None,
+        }
+        with open(path_p / "context.pkl", "wb") as f:
+            pickle.dump(meta, f)
+        step = (train_state or self.train_state).step_count
+        # ".step" stamp marks completeness; auto-resume keys off it (ref :568-637)
+        with open(os.path.join(path, f"{step}.step"), "w") as f:
+            f.write(str(step))
+        if gpc.is_rank_for_log():
+            logger.info("saved checkpoint to %s in %.2fs", path, time.time() - t0)
+
+    def try_save_checkpoint(self, train_state) -> bool:
+        """Returns True if training should stop (stop-file save-and-quit)."""
+        if not self.enable_save_ckpt:
+            return False
+        save_ckpts, save_type, now_break = self._decide(train_state)
+        if save_ckpts:
+            if save_type == "snapshot":
+                slot = (train_state.step_count // max(1, self.oss_snapshot_freq)) % CKPT_SLOT_COUNT
+                path = self._save_path(train_state.step_count, snapshot_slot=slot)
+            else:
+                path = self._save_path(train_state.step_count)
+            self.save_checkpoint(path, train_state)
+        return now_break
+
+    def _decide(self, train_state):
+        step = train_state.step_count
+        save, save_type, now_break = False, "normal", False
+        if self.oss_snapshot_freq > 0 and step % self.oss_snapshot_freq == 0 and step > 0:
+            save, save_type = True, "snapshot"
+        if step % self.checkpoint_every == 0 and step > 0:
+            save, save_type = True, "normal"
+        sf_save, sf_quit = self._query_stop_file(step)
+        if sf_save:
+            save, save_type = True, "normal"
+            now_break = sf_quit
+        return save, save_type, now_break
+
+    def _query_stop_file(self, step: int):
+        """Stop-file protocol (ref :331-403): file contains +N (save at step N)
+        or -N (save at N then quit)."""
+        if not self.stop_file_path or not os.path.exists(self.stop_file_path):
+            return False, False
+        try:
+            with open(self.stop_file_path) as f:
+                content = f.read().strip()
+            if not content:
+                return False, False
+            val = int(content)
+        except (ValueError, OSError):
+            return False, False
+        target, quit_after = abs(val), val < 0
+        if target != 0 and step >= target:
+            return True, quit_after
+        return False, False
+
+    def wait_async_upload_finish(self):
+        get_storage_manager().wait()
+
+    # ----------------------------------------------------------------- loading
+
+    def query_latest_snapshot_step_local(self) -> Optional[str]:
+        """Scan save folder for the newest '.step'-stamped directory (ref :438-535)."""
+        if not self.save_ckpt_folder or not os.path.isdir(self.save_ckpt_folder):
+            return None
+        best_step, best_path = -1, None
+        for root, _dirs, files in os.walk(self.save_ckpt_folder):
+            for fn in files:
+                if fn.endswith(".step"):
+                    try:
+                        step = int(fn[: -len(".step")])
+                    except ValueError:
+                        continue
+                    if step > best_step:
+                        best_step, best_path = step, root
+        return best_path
+
+    def try_resume_training(self, train_state, current_time: str = ""):
+        load_info = self.load_ckpt_info
+        if self.auto_resume:
+            latest = self.query_latest_snapshot_step_local()
+            if latest is not None:
+                load_info = dict(path=latest, content=("all",), ckpt_type="internevo")
+        if not load_info:
+            return
+        content = CheckpointLoadMask(tuple(load_info.get("content", ("all",))))
+        ckpt_type = load_info.get("ckpt_type", "internevo")
+        load_fn = LOAD_FUNC_DICT[ckpt_type]
+        load_fn(self.engine, train_state, load_info["path"], content)
+        if gpc.is_rank_for_log():
+            logger.info("resumed from %s (type=%s, content=%s)", load_info["path"], ckpt_type, content)

@@ -1,0 +1,65 @@
+"""Engine: bundles params, optimizer state, schedulers and the compiled step.
+
+Parity: reference ``internlm/core/engine.py:19-196`` — the reference Engine
+wires model/optimizer/criterion/lr+beta2 schedulers/gradient handlers and its
+``step()`` does reduce -> clip -> optim.step -> scheduler.step.  Here the whole
+of that is inside the jitted train step; Engine owns the host-side state and
+scheduler evaluation.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..solver.lr_scheduler import Beta2Scheduler, CosineAnnealingWarmupLR
+
+
+class Engine:
+    def __init__(
+        self,
+        model,                      # ModelDef
+        params,
+        opt_state,
+        train_step_fn: Callable,
+        lr_scheduler: CosineAnnealingWarmupLR,
+        beta2_scheduler: Optional[Beta2Scheduler] = None,
+        eval_step_fn: Optional[Callable] = None,
+    ):
+        self.model = model
+        self.params = params
+        self.opt_state = opt_state
+        self.train_step_fn = train_step_fn
+        self.eval_step_fn = eval_step_fn
+        self.lr_scheduler = lr_scheduler
+        self.beta2_scheduler = beta2_scheduler
+        self._training = True
+        self.current_lr = 0.0
+
+    def train(self):
+        self._training = True
+
+    def eval(self):
+        self._training = False
+
+    @property
+    def step_count(self) -> int:
+        return int(self.opt_state["step"])
+
+    def run_step(self, batch: dict) -> dict:
+        """One global step: evaluate schedules on host, run the compiled step."""
+        step = self.step_count
+        lr = self.lr_scheduler.get_lr(step)
+        beta2 = self.beta2_scheduler.get_beta2(step + 1) if self.beta2_scheduler else None
+        self.current_lr = lr
+        self.params, self.opt_state, metrics = self.train_step_fn(
+            self.params, self.opt_state, batch, lr, beta2
+        )
+        return metrics
+
+    def run_eval_step(self, batch: dict) -> dict:
+        assert self.eval_step_fn is not None
+        return self.eval_step_fn(self.params, batch)

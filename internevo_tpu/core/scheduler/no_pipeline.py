@@ -1,0 +1,107 @@
+"""Non-pipeline train step: grad accumulation over micro batches inside one jit.
+
+Parity: reference ``internlm/core/scheduler/no_pipeline_scheduler.py:28-239`` —
+the per-micro loop with loss/grad_accum scaling (loss divided by micro_num
+before backward, :143-145) and grad sync only at the end (the reference's
+``skip_grad_reduce`` dance disappears: XLA reduces once after the scan).
+
+TPU-native: the micro loop is a ``lax.scan`` over a leading micro axis, so the
+whole global step (fwd+bwd x micro_num + optimizer) is ONE compiled program;
+collectives for dp-grad reduction appear once, after the scan, exactly like the
+reference's "only last micro syncs".  Metrics (token accuracy, perplexity — the
+reference's ``AccPerplex``, ``model/metrics.py:55``) are folded into the scan.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ...models.base import ModelDef
+from ...ops.cross_entropy import cross_entropy_loss
+from ...parallel.sharding import ShardingRules
+from ...solver.optimizer import AdamWConfig, GradScalerConfig, optimizer_step
+
+
+def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: float = 0.0):
+    logits = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
+    V = logits.shape[-1]
+    flat_logits = logits.reshape(-1, V)
+    labels = micro["labels"].reshape(-1)
+    loss, n_valid = cross_entropy_loss(flat_logits, labels, label_smoothing=label_smoothing)
+    valid = labels != -100
+    pred = jnp.argmax(flat_logits, axis=-1)
+    n_correct = jnp.sum((pred == labels) & valid)
+    return loss, (loss, n_valid, n_correct)
+
+
+def make_train_step(
+    model: ModelDef,
+    adam_cfg: AdamWConfig,
+    scaler_cfg: GradScalerConfig,
+    rules: ShardingRules,
+    label_smoothing: float = 0.0,
+    donate: bool = True,
+) -> Callable:
+    """Returns jitted ``train_step(params, opt_state, batch, lr, beta2)``.
+
+    ``batch`` arrays are shaped (micro_num, dp_batch, packed_length); the scan
+    runs over the leading micro axis.
+    """
+
+    def train_step(params, opt_state, batch, lr, beta2):
+        micro_num = batch["input_ids"].shape[0]
+        scale = opt_state["grad_scale"]
+
+        def micro_grad(p, micro):
+            def scaled_loss_fn(p_):
+                loss, metrics = _micro_loss_and_metrics(model, p_, micro, label_smoothing)
+                return loss * scale / micro_num, metrics
+
+            grads, metrics = jax.grad(scaled_loss_fn, has_aux=True)(p)
+            return grads, metrics
+
+        def scan_body(carry, micro):
+            grads_acc, loss_acc, tok_acc, correct_acc = carry
+            grads, (loss, n_valid, n_correct) = micro_grad(params, micro)
+            grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
+            return (grads_acc, loss_acc + loss, tok_acc + n_valid, correct_acc + n_correct), None
+
+        zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+        init = (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+        (grads, loss_sum, n_tokens, n_correct), _ = jax.lax.scan(scan_body, init, batch)
+
+        new_params, new_opt_state, stats = optimizer_step(
+            params, grads, opt_state, lr, beta2, adam_cfg=adam_cfg, scaler_cfg=scaler_cfg
+        )
+        loss = loss_sum / micro_num
+        metrics = {
+            "loss": loss,
+            "grad_norm": stats["grad_norm"],
+            "found_inf": stats["found_inf"],
+            "loss_scale": stats["loss_scale"],
+            "num_skipped": stats["num_skipped"],
+            "n_tokens": n_tokens,
+            "acc": n_correct / jnp.maximum(n_tokens, 1),
+            # perplexity from summed nll: loss is already the mean over tokens
+            "perplexity": jnp.exp(loss),
+        }
+        return new_params, new_opt_state, metrics
+
+    donate_argnums = (0, 1) if donate else ()
+    return jax.jit(train_step, donate_argnums=donate_argnums)
+
+
+def make_eval_step(model: ModelDef, label_smoothing: float = 0.0) -> Callable:
+    """forward_only schedule (reference ``forward_backward_step(forward_only=True)``)."""
+
+    def eval_step(params, batch):
+        loss, (loss_, n_valid, n_correct) = _micro_loss_and_metrics(model, params, batch, label_smoothing)
+        return {"loss": loss, "n_tokens": n_valid, "n_correct": n_correct}
+
+    return jax.jit(eval_step)

@@ -95,11 +95,22 @@ def get_tokenized_train_loader_items(data_cfg):
             use_packed=use_packed,
             micro_bsz=micro_bsz,
         )
-    dp_rank, dp_size = _data_rank_and_size()
+    dp_rank, dp_size, local_dp = _data_rank_and_size()
+    # Single-controller SPMD: this process feeds local_dp data-parallel rows per
+    # micro step, so one sampler batch is micro_num * local_dp packs.  Row
+    # (j, r) of the reshaped (micro_num, local_dp) batch equals what reference
+    # dp-rank r would get at micro step j (indices[r::dp] interleave == the
+    # contiguous slice laid out row-major), so loss curves match the reference
+    # exactly.  Rampup units in the config count per-rank micro batches
+    # (reference semantics) and are scaled to global units here.
+    rampup = data_cfg.get("rampup_batch_size", None)
+    if rampup and local_dp > 1:
+        start, incre, every = map(int, rampup.split())
+        rampup = f"{start * local_dp} {incre * local_dp} {every}"
     train_sampler = StaticBatchSampler(
         train_ds.datasets if isinstance(train_ds, ConcatDataset) else [train_ds],
-        batch_size=data_cfg.micro_num,
-        rampup_batch_size=data_cfg.get("rampup_batch_size", None),
+        batch_size=data_cfg.micro_num * local_dp,
+        rampup_batch_size=rampup,
         micro_bsz=micro_bsz,
         seed=data_cfg.get("seed", 1024),
         drop_last=True,
@@ -111,12 +122,15 @@ def get_tokenized_train_loader_items(data_cfg):
 
 
 def _data_rank_and_size():
-    """Single-controller SPMD: the host feeds the full global batch; dp slicing
-    happens by sharding the arrays over the mesh.  Multi-host would slice here
-    by process index over the data axis."""
+    """Returns (process_rank, process_count, local_dp_rows_per_micro_step)."""
     import jax
 
-    return jax.process_index(), jax.process_count()
+    from ..core.context import gpc
+
+    dp_total = gpc.sizes.dp_total if gpc.sizes is not None else 1
+    n_proc = jax.process_count()
+    local_dp = max(1, dp_total // n_proc)
+    return jax.process_index(), n_proc, local_dp
 
 
 def build_train_loader_with_data_type():
@@ -146,7 +160,7 @@ def build_valid_loader_with_data_type():
                     name = os.path.relpath(os.path.join(root, fn), data_cfg.valid_folder)
                     valid_ds[name] = JsonlDataset(os.path.join(root, fn), 0, min_length=0)
     collate = partial(jsonl_ds_collate_fn, max_length_per_sample=data_cfg.seq_len)
-    dp_rank, dp_size = _data_rank_and_size()
+    dp_rank, dp_size, _local_dp = _data_rank_and_size()
     loaders = {}
     for name, ds in valid_ds.items():
         sampler = DataParallelSampler(

@@ -95,6 +95,8 @@ class ModelConfig:
     moe_layer_freq: int = 1
 
     def __post_init__(self):
+        # config files may say checkpoint=True/False (ref 7B_sft.py comment)
+        self.checkpoint = float(self.checkpoint)
         if self.num_kv_attention_heads is None:
             self.num_kv_attention_heads = self.num_attention_heads
         if self.no_bias:

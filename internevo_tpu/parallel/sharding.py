@@ -164,6 +164,52 @@ class ShardingRules:
             return x
         return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
 
+    # ---------------------------------------------------------------- ZeRO-1
+
+    def zero_spec(self, spec: P, shape: tuple[int, ...]) -> P:
+        """Add optimizer-state sharding over the ``zero`` axis to a param spec.
+
+        The TPU-native HybridZeroOptimizer partition (reference
+        ``hybrid_zero_optim.py:254-284`` greedy numel partition): find the first
+        dim whose size is divisible by (already-sharded ways * zero_size) and
+        append the ``zero`` axis there; if none divides, leave the state
+        replicated (a tiny tensor).
+        """
+        if self.mesh is None:
+            return spec
+        zero_size = self.mesh.shape.get(ZERO, 1)
+        if zero_size == 1:
+            return spec
+        parts = list(spec) + [None] * (len(shape) - len(spec))
+
+        def axes_of(part):
+            if part is None:
+                return ()
+            return part if isinstance(part, tuple) else (part,)
+
+        used = {a for part in parts for a in axes_of(part)}
+        if ZERO in used:
+            return spec
+        for i, dim in enumerate(shape):
+            sharded_ways = 1
+            for a in axes_of(parts[i]):
+                sharded_ways *= self.mesh.shape[a]
+            if dim % (sharded_ways * zero_size) == 0:
+                parts[i] = axes_of(parts[i]) + (ZERO,)
+                if len(parts[i]) == 1:
+                    parts[i] = parts[i][0]
+                return P(*parts)
+        return spec
+
+    def zero_shard_specs(self, param_specs, params):
+        """Map a param-spec tree to optimizer-state specs (same structure)."""
+        return jax.tree.map(
+            lambda spec, p: self.zero_spec(spec, p.shape),
+            param_specs,
+            params,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
 
 # Module-level active rules, set by the train glue; models read it at trace time.
 _ACTIVE = ShardingRules()

@@ -13,6 +13,8 @@ _initialized = False
 
 def get_logger(name: str = LOGGER_NAME, level: int = logging.INFO) -> logging.Logger:
     global _initialized
+    if not name.startswith(LOGGER_NAME):
+        name = f"{LOGGER_NAME}.{name}"  # route through the package handler
     logger = logging.getLogger(name)
     if not _initialized:
         root = logging.getLogger(LOGGER_NAME)

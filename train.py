@@ -1,0 +1,170 @@
+#!/usr/bin/env python
+"""Training entry point.
+
+Parity: reference ``train.py`` — same CLI surface
+(``--config --launcher --port --seed --profiling``) and the same main-loop
+phases: initialize env/model/optimizer/dataloaders, auto-resume, train loop with
+metrics recording, periodic eval and checkpointing.
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import time
+import traceback
+
+import jax
+
+# The sandbox's TPU plugin pins jax_platforms at import time; IEVO_PLATFORM
+# lets CI/smoke runs redirect to the 8-device virtual CPU mesh.
+if os.environ.get("IEVO_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["IEVO_PLATFORM"])
+
+import numpy as np
+
+from internevo_tpu.core.context import gpc
+from internevo_tpu.data.build_dataloader import (
+    build_train_loader_with_data_type,
+    build_valid_loader_with_data_type,
+)
+from internevo_tpu.core.trainer import TrainState
+from internevo_tpu.checkpoint.checkpoint_manager import CheckpointManager
+from internevo_tpu.eval.evaluation import evaluate_on_val_dls
+from internevo_tpu.initialize.launch import initialize_distributed_env
+from internevo_tpu.monitor.monitor import initialize_monitor_manager, send_alert_message
+from internevo_tpu.train.pipeline import (
+    batch_to_device,
+    get_tflops_func_builder,
+    initialize_model,
+    initialize_optimizer,
+    initialize_trainer,
+    load_new_batch,
+    record_current_batch_training_metrics,
+)
+from internevo_tpu.utils.common import BatchSkipper, parse_args
+from internevo_tpu.utils.logger import get_logger
+from internevo_tpu.utils.timers import megatron_timer as timer
+from internevo_tpu.utils.writer import Writer
+
+logger = get_logger(__name__)
+
+
+def main(args):
+    total_steps = gpc.config.data.total_steps
+    valid_every = gpc.config.data.valid_every
+    skip_batches = gpc.config.data.skip_batches
+
+    model, params = initialize_model()
+    opt_state, lr_scheduler, beta2_scheduler = initialize_optimizer(model, params)
+
+    train_dl, dataset_types = build_train_loader_with_data_type()
+    train_state = TrainState(gpc.config, train_dl.batch_sampler)
+
+    trainer = initialize_trainer(model, params, opt_state, lr_scheduler, beta2_scheduler)
+    engine = trainer.engine
+
+    ckpt_manager = CheckpointManager(
+        ckpt_config=gpc.config.ckpt,
+        engine=engine,
+        train_state=train_state,
+        train_dl=train_dl,
+        model_config=gpc.config.model,
+    )
+    ckpt_manager.try_resume_training(train_state)
+
+    writer = Writer(
+        job_name=gpc.config.get("JOB_NAME", "internevo_tpu"),
+        launch_time=time.strftime("%m-%d-%H:%M:%S"),
+        tensorboard_folder=gpc.config.get("tensorboard_folder", None),
+        enable_tb=gpc.config.get("enable_tb", True),
+    ) if gpc.is_rank_for_log() else None
+
+    get_tflops_func = get_tflops_func_builder()
+    batch_skipper = BatchSkipper(skip_batches)
+    micro_num = gpc.config.data.micro_num
+
+    train_iter = iter(train_dl)
+    gc.disable()
+    gc.collect()
+
+    logger.info("start training from batch_count=%d", train_state.batch_count)
+    with initialize_monitor_manager(
+        job_name=gpc.config.get("JOB_NAME", "internevo_tpu"),
+        alert_address=gpc.config.monitor.alert.get("feishu_alert_address", None),
+    ):
+        for batch_count in range(train_state.batch_count, total_steps):
+            start_time = time.time()
+            timer("one-batch").start()
+
+            batch, train_iter = load_new_batch(train_dl, train_iter, train_state)
+            train_state.batch_count = batch_count
+            train_state.num_consumed_tokens += int(np.asarray(batch[0]["input_ids"]).size)
+            if batch_skipper(batch_count):
+                logger.info("skip batch %d", batch_count)
+                continue
+
+            device_batch = batch_to_device(batch, micro_num=_infer_micro_num(batch, micro_num))
+
+            timer("fwd-bwd").start()
+            metrics = trainer.execute_schedule(device_batch)
+            timer("fwd-bwd").stop()
+
+            loss = float(metrics["loss"])
+            grad_norm = float(metrics["grad_norm"])
+            success_update = not bool(metrics["found_inf"])
+            if success_update:
+                train_state.step_count += 1
+            else:
+                train_state.inf_nan_skip_batches += 1
+                if gpc.is_rank_for_log():
+                    logger.warning("overflow detected at step %d, skipping update", batch_count)
+                    send_alert_message(message=f"inf/nan grad at step {batch_count}, skipped")
+
+            timer("one-batch").stop()
+            record_current_batch_training_metrics(
+                get_tflops_func=get_tflops_func,
+                logger_obj=logger,
+                writer=writer,
+                success_update=success_update,
+                batch_count=batch_count,
+                batch=device_batch,
+                train_state=train_state,
+                engine=engine,
+                start_time=start_time,
+                loss=loss,
+                grad_norm=grad_norm,
+                metrics=metrics,
+            )
+
+            if valid_every > 0 and train_state.step_count % valid_every == 0:
+                evaluate_on_val_dls(trainer, build_valid_loader_with_data_type()[0], writer, train_state.step_count)
+
+            if ckpt_manager.try_save_checkpoint(train_state):
+                break
+
+    ckpt_manager.wait_async_upload_finish()
+
+
+def _infer_micro_num(batch, micro_num: int) -> int:
+    """During batch-size rampup the sampler yields fewer packs; the micro axis
+    shrinks accordingly (reference varies micro_num the same way)."""
+    total_rows = batch[0]["input_ids"].shape[0]
+    from internevo_tpu.core.context import gpc as _gpc
+
+    dp = _gpc.sizes.dp_total if _gpc.sizes else 1
+    assert total_rows % dp == 0, (total_rows, dp)
+    return total_rows // dp
+
+
+if __name__ == "__main__":
+    args = parse_args()
+    initialize_distributed_env(config=args.config, launcher=args.launcher,
+                               master_port=args.port, seed=args.seed)
+    assert hasattr(gpc, "config") and gpc.config is not None
+    try:
+        main(args)
+    except Exception:
+        logger.error("Raise exception from %s:\n%s", jax.process_index(), traceback.format_exc())
+        send_alert_message(message=f"train.py exception: {traceback.format_exc(limit=3)}")
+        raise
