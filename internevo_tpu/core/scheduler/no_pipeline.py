@@ -28,16 +28,24 @@ from ...parallel.sharding import ShardingRules
 from ...solver.optimizer import AdamWConfig, GradScalerConfig, optimizer_step
 
 
-def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: float = 0.0):
-    logits = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
+def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: float = 0.0,
+                            moe_loss_coeff: float = 0.01):
+    out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
+    moe_loss = jnp.zeros((), jnp.float32)
+    if isinstance(out, tuple):  # MoE models return (logits, {"moe": aux_loss})
+        logits, aux = out
+        moe_loss = aux.get("moe", moe_loss)
+    else:
+        logits = out
     V = logits.shape[-1]
     flat_logits = logits.reshape(-1, V)
     labels = micro["labels"].reshape(-1)
-    loss, n_valid = cross_entropy_loss(flat_logits, labels, label_smoothing=label_smoothing)
+    ce_loss, n_valid = cross_entropy_loss(flat_logits, labels, label_smoothing=label_smoothing)
+    loss = ce_loss + moe_loss_coeff * moe_loss
     valid = labels != -100
     pred = jnp.argmax(flat_logits, axis=-1)
     n_correct = jnp.sum((pred == labels) & valid)
-    return loss, (loss, n_valid, n_correct)
+    return loss, (ce_loss, n_valid, n_correct, moe_loss)
 
 
 def make_train_step(
@@ -46,6 +54,7 @@ def make_train_step(
     scaler_cfg: GradScalerConfig,
     rules: ShardingRules,
     label_smoothing: float = 0.0,
+    moe_loss_coeff: float = 0.01,
     donate: bool = True,
 ) -> Callable:
     """Returns jitted ``train_step(params, opt_state, batch, lr, beta2)``.
@@ -60,21 +69,23 @@ def make_train_step(
 
         def micro_grad(p, micro):
             def scaled_loss_fn(p_):
-                loss, metrics = _micro_loss_and_metrics(model, p_, micro, label_smoothing)
+                loss, metrics = _micro_loss_and_metrics(model, p_, micro, label_smoothing, moe_loss_coeff)
                 return loss * scale / micro_num, metrics
 
             grads, metrics = jax.grad(scaled_loss_fn, has_aux=True)(p)
             return grads, metrics
 
         def scan_body(carry, micro):
-            grads_acc, loss_acc, tok_acc, correct_acc = carry
-            grads, (loss, n_valid, n_correct) = micro_grad(params, micro)
+            grads_acc, loss_acc, tok_acc, correct_acc, moe_acc = carry
+            grads, (loss, n_valid, n_correct, moe_loss) = micro_grad(params, micro)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
-            return (grads_acc, loss_acc + loss, tok_acc + n_valid, correct_acc + n_correct), None
+            return (grads_acc, loss_acc + loss, tok_acc + n_valid,
+                    correct_acc + n_correct, moe_acc + moe_loss), None
 
         zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
-        init = (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
-        (grads, loss_sum, n_tokens, n_correct), _ = jax.lax.scan(scan_body, init, batch)
+        init = (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
+        (grads, loss_sum, n_tokens, n_correct, moe_sum), _ = jax.lax.scan(scan_body, init, batch)
 
         new_params, new_opt_state, stats = optimizer_step(
             params, grads, opt_state, lr, beta2, adam_cfg=adam_cfg, scaler_cfg=scaler_cfg
@@ -90,6 +101,7 @@ def make_train_step(
             "acc": n_correct / jnp.maximum(n_tokens, 1),
             # perplexity from summed nll: loss is already the mean over tokens
             "perplexity": jnp.exp(loss),
+            "moe_loss": moe_sum / micro_num,
         }
         return new_params, new_opt_state, metrics
 
@@ -101,7 +113,8 @@ def make_eval_step(model: ModelDef, label_smoothing: float = 0.0) -> Callable:
     """forward_only schedule (reference ``forward_backward_step(forward_only=True)``)."""
 
     def eval_step(params, batch):
-        loss, (loss_, n_valid, n_correct) = _micro_loss_and_metrics(model, params, batch, label_smoothing)
-        return {"loss": loss, "n_tokens": n_valid, "n_correct": n_correct}
+        loss, (ce_loss, n_valid, n_correct, _moe) = _micro_loss_and_metrics(
+            model, params, batch, label_smoothing)
+        return {"loss": ce_loss, "n_tokens": n_valid, "n_correct": n_correct}
 
     return jax.jit(eval_step)

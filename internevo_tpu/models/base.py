@@ -335,8 +335,14 @@ def block_forward(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.Ar
     h = mixer(h)
     residual = (dropout(h, 1) + residual).astype(residual.dtype)
     h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
-    out = ffn(h) + residual
+    ffn_out = ffn(h)
+    aux = None
+    if isinstance(ffn_out, tuple):  # MoE ffn returns (out, l_aux)
+        ffn_out, aux = ffn_out
+    out = ffn_out + residual
     out = sh.constrain(out.astype(cfg.dtype), "batch", "seq", "act_embed")
+    if aux is not None:
+        return out, aux
     return out
 
 

@@ -1,0 +1,168 @@
+"""INTERNLM_MoE model family.
+
+Parity: reference ``internlm/model/modeling_moe.py`` — InternLM blocks whose FFN
+is a GShard MoE layer (every ``moe_layer_freq``-th layer in spirit; the
+reference uses every layer), returning per-layer gate aux losses that the
+schedulers accumulate into ``moe_loss`` (``no_pipeline_scheduler.py:141-145``),
+plus the optional residual-MoE branch (``moe/moe.py:66-99``).
+
+The apply function returns ``(logits, {"moe": summed_aux_loss})``; the train
+step adds ``moe_loss_coeff * moe`` to the CE loss.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.registry import MODEL_INITIALIZER
+from .base import (
+    ModelConfig,
+    ModelDef,
+    _dense,
+    attention_block,
+    block_forward,
+    block_param_specs,
+    embed_tokens,
+    head_logits,
+    init_block_params,
+    init_params,
+    _normal,
+)
+from .moe.gshard import moe_layer_apply
+
+MODEL_TYPE = "INTERNLM_MoE"
+
+
+def init_moe_params(cfg: ModelConfig, key: jax.Array) -> dict:
+    """Dense init + per-layer expert stacks (experts init like w1/w2/w3,
+    ref ``modeling_moe.py`` reuses the block reset_parameters)."""
+    params = init_params(cfg, key)
+    L, H, M, E = cfg.num_layers, cfg.hidden_size, cfg.mlp_hidden, cfg.num_experts
+    keys = jax.random.split(jax.random.fold_in(key, 999), 5)
+    layer_ids = jnp.arange(L, dtype=jnp.float32)
+    if cfg.use_scaled_init:
+        w2_std = (0.006 / jnp.sqrt(2.0 * (layer_ids + 1.0)))[:, None, None, None]
+    else:
+        w2_std = cfg.ffn_other_init_std
+    moe = {
+        "gate": _normal(keys[0], (L, H, E), 0.006),
+        "experts": {
+            "w1": _normal(keys[1], (L, E, H, M), cfg.ffn_uplayer_init_std),
+            "w3": _normal(keys[2], (L, E, H, M), cfg.ffn_uplayer_init_std),
+            "w2": jax.random.normal(keys[3], (L, E, M, H), jnp.float32) * w2_std,
+        },
+    }
+    if cfg.num_shared_experts > 0:  # residual MoE: dense mlp + 2-way coefficient
+        moe["coefficient"] = _normal(keys[4], (L, H, 2), 0.006)
+    blocks = params["blocks"]
+    if cfg.num_shared_experts == 0:
+        # pure MoE FFN: dense w1/w2/w3 are replaced by experts
+        for k in ("w1", "w2", "w3"):
+            blocks.pop(k, None)
+    blocks["moe"] = jax.tree.map(lambda a: a.astype(cfg.dtype), moe)
+    # gate stays fp32 for routing stability (ref gshard fp32 gating)
+    blocks["moe"]["gate"] = moe["gate"].astype(jnp.float32)
+    return params
+
+
+def moe_param_specs(cfg: ModelConfig) -> dict:
+    from ..core.context import ZERO
+    from ..parallel.sharding import get_rules
+    from jax.sharding import PartitionSpec as P
+
+    rules = get_rules()
+    base = block_param_specs(cfg)
+    p = rules.param_spec
+    # EP = min(dp-ish, num_experts) in the reference (Initializer_Expert_Data);
+    # under GSPMD the expert dim can only shard over axes whose size divides E —
+    # otherwise experts stay replicated (pure dense compute per rank).
+    zero_size = rules.mesh.shape.get(ZERO, 1) if rules.mesh is not None else 1
+    expert_axis = "expert" if cfg.num_experts % max(zero_size, 1) == 0 else None
+    moe_specs = {
+        "gate": p("layer", "embed", None),
+        "experts": {
+            "w1": p("layer", expert_axis, "embed", "moe_mlp"),
+            "w3": p("layer", expert_axis, "embed", "moe_mlp"),
+            "w2": p("layer", expert_axis, "moe_mlp", "embed"),
+        },
+    }
+    if cfg.num_shared_experts > 0:
+        moe_specs["coefficient"] = p("layer", "embed", None)
+    else:
+        for k in ("w1", "w2", "w3"):
+            base.pop(k, None)
+    base["moe"] = moe_specs
+    return base
+
+
+def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segment_ids,
+                      dropout_rng: Optional[jax.Array] = None, train: bool = True):
+    x = embed_tokens(cfg, params, input_ids)
+
+    def moe_ffn(layer, h):
+        out, l_aux, _counts = moe_layer_apply(
+            layer["moe"], h,
+            top_k=cfg.top_k,
+            capacity_factor=cfg.moe_capacity_factor if train else cfg.moe_eval_capacity_factor,
+            min_capacity=cfg.moe_min_capacity,
+            drop_tokens=cfg.moe_drop_tokens,
+            use_rts=cfg.moe_use_rts,
+            noisy_gate_policy=None,
+            rng=dropout_rng,
+            train=train,
+        )
+        if cfg.num_shared_experts > 0:
+            dense = _dense(h, layer["w1"]["kernel"])
+            w3o = _dense(h, layer["w3"]["kernel"])
+            dense_out = _dense(jax.nn.silu(dense) * w3o, layer["w2"]["kernel"])
+            coef = jax.nn.softmax(_dense(h, layer["moe"]["coefficient"]).astype(jnp.float32), axis=-1)
+            out = out * coef[..., 0:1].astype(out.dtype) + dense_out * coef[..., 1:].astype(out.dtype)
+        return out, l_aux
+
+    def scan_body(carry, layer):
+        h, moe_loss = carry
+        h_new, l_aux = block_forward(
+            cfg, layer, h, positions, segment_ids, dropout_rng, train,
+            ffn=lambda hh: moe_ffn(layer, hh),
+        )
+        return (h_new, moe_loss + l_aux), None
+
+    ckpt_body = jax.checkpoint(
+        lambda carry, layer: scan_body(carry, layer),
+        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        prevent_cse=False,
+    )
+    (x, moe_loss), _ = jax.lax.scan(ckpt_body, (x, jnp.zeros((), jnp.float32)), params["blocks"])
+    logits = head_logits(cfg, params, x)
+    return logits, {"moe": moe_loss / cfg.num_layers}
+
+
+@MODEL_INITIALIZER.register_module(MODEL_TYPE)
+def build_model_with_cfg(**kwargs) -> ModelDef:
+    for k in ("num_chunks", "embed_split_hidden", "apply_post_layer_norm", "is_reward",
+              "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
+              "moe_use_residual", "moe_type", "moe_gate_k"):
+        kwargs.pop(k, None)
+    fields = {k: v for k, v in kwargs.items() if k in ModelConfig.__dataclass_fields__}
+    cfg = ModelConfig(qkv_bias=True, o_bias=True, mlp_bias=False, **fields)
+    assert cfg.num_experts > 1, "INTERNLM_MoE requires model.num_experts > 1"
+
+    def init(rng: jax.Array) -> dict:
+        return init_moe_params(cfg, rng)
+
+    model = ModelDef(config=cfg, init=init, apply=partial(moe_model_forward, cfg))
+    model.specs = lambda: _moe_specs(cfg)
+    return model
+
+
+def _moe_specs(cfg: ModelConfig) -> dict:
+    from .base import param_specs
+
+    specs = param_specs(cfg)
+    specs["blocks"] = moe_param_specs(cfg)
+    return specs

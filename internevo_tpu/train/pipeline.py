@@ -41,6 +41,17 @@ def initialize_model() -> tuple[ModelDef, Any]:
     import internevo_tpu.models  # noqa: F401  (registry population)
 
     model_cfg = dict(gpc.config.model)
+    # top-level `moe = dict(...)` block (reference 7B_MoE4_sft.py:204) maps onto
+    # the ModelConfig moe_* fields
+    moe_cfg = gpc.config.get("moe", None)
+    if moe_cfg:
+        mapping = {"top_k": "top_k", "capacity_factor": "moe_capacity_factor",
+                   "eval_capacity_factor": "moe_eval_capacity_factor",
+                   "min_capacity": "moe_min_capacity", "drop_tokens": "moe_drop_tokens",
+                   "use_rts": "moe_use_rts"}
+        for src, dst in mapping.items():
+            if src in moe_cfg:
+                model_cfg[dst] = moe_cfg[src]
     model = MODEL_INITIALIZER.get_module(gpc.config.model_type)(**model_cfg)
     rules = get_rules()
     rng = gpc.rng("model")
@@ -120,6 +131,7 @@ def initialize_trainer(model: ModelDef, params, opt_state, lr_scheduler, beta2_s
     train_step = make_train_step(
         model, _adam_cfg(), _scaler_cfg(), rules,
         label_smoothing=gpc.config.loss.get("label_smoothing", 0),
+        moe_loss_coeff=gpc.config.loss.get("moe_loss_coeff", 0.01),
     )
     eval_step = make_eval_step(model, gpc.config.loss.get("label_smoothing", 0))
     engine = Engine(model, params, opt_state, train_step, lr_scheduler, beta2_scheduler, eval_step)

@@ -1,0 +1,134 @@
+"""MoE: gating semantics, layer forward, end-to-end training with EP sharding.
+
+Parity targets: reference ``internlm/model/moe/gshard_layer.py`` gating math and
+``modeling_moe.py`` per-layer aux losses.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from internevo_tpu.models.moe.gshard import moe_layer_apply, top1gating, top2gating
+from internevo_tpu.ops.attention import set_use_pallas
+
+
+@pytest.fixture(autouse=True)
+def _no_pallas():
+    set_use_pallas(False)
+    yield
+    set_use_pallas(None)
+
+
+def test_top1_dispatch_within_capacity():
+    S, E = 64, 4
+    logits = jax.random.normal(jax.random.PRNGKey(0), (S, E))
+    l_aux, combine, dispatch, counts = top1gating(logits, capacity_factor=1.0, min_capacity=4)
+    C = combine.shape[-1]
+    assert C == 16  # ceil(64/4) * 1.0
+    # each token goes to at most one (expert, slot)
+    assert float(jnp.max(jnp.sum(dispatch, axis=(1, 2)))) <= 1
+    # each (expert, slot) holds at most one token
+    assert float(jnp.max(jnp.sum(dispatch, axis=0))) <= 1
+    assert float(l_aux) > 0
+
+
+def test_top2_two_experts_per_token():
+    S, E = 64, 4
+    logits = jax.random.normal(jax.random.PRNGKey(0), (S, E))
+    l_aux, combine, dispatch, counts = top2gating(logits, capacity_factor=1.0, min_capacity=4)
+    # combine weights per token sum to ~1 (normalized top-2), unless dropped
+    sums = jnp.sum(combine, axis=(1, 2))
+    kept = sums > 0
+    np.testing.assert_allclose(np.asarray(sums[kept]), 1.0, rtol=1e-5)
+    assert float(jnp.max(jnp.sum(dispatch, axis=0))) <= 1
+
+
+def test_moe_layer_forward_shapes():
+    B, S, H, M, E = 2, 32, 16, 32, 4
+    key = jax.random.PRNGKey(0)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)) * 0.02,
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.02,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.02,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.02,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    out, l_aux, counts = moe_layer_apply(layer, x, top_k=2, capacity_factor=2.0, min_capacity=4)
+    assert out.shape == (B, S, H)
+    assert jnp.all(jnp.isfinite(out))
+    assert counts.shape == (E,)
+
+
+def test_moe_infinite_capacity_matches_dense_mixture():
+    """With top_k=1, capacity covering all tokens and no RTS, MoE output ==
+    gate_prob * chosen expert's FFN — checked against a dense loop."""
+    B, S, H, M, E = 1, 16, 8, 16, 2
+    key = jax.random.PRNGKey(0)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)),
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.1,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.1,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.1,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    out, _, _ = moe_layer_apply(layer, x, top_k=1, capacity_factor=float(S), min_capacity=S,
+                                use_rts=False, train=False)
+    tokens = x.reshape(-1, H)
+    gates = jax.nn.softmax(tokens @ layer["gate"], axis=1)
+    expect = np.zeros((S, H), np.float32)
+    choice = np.argmax(np.asarray(gates), axis=1)
+    for s in range(S):
+        e = choice[s]
+        h1 = tokens[s] @ layer["experts"]["w1"][e]
+        h3 = tokens[s] @ layer["experts"]["w3"][e]
+        expect[s] = (jax.nn.silu(h1) * h3) @ layer["experts"]["w2"][e] * gates[s, e]
+    np.testing.assert_allclose(np.asarray(out.reshape(-1, H)), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_model_trains_e2e():
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.data.build_dataloader import build_train_loader_with_data_type
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import (
+        batch_to_device, initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    config = dict(
+        model_type="INTERNLM_MoE",
+        data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=4,
+                  rampup_batch_size="", train_folder=None, num_random_samples=1000,
+                  fixed_random_dataset_seqlen=True),
+        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
+                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                   num_experts=4, top_k=2),
+        loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                  adam_eps=1e-8, weight_decay=0.01),
+        lr_scheduler=dict(total_steps=4, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
+        parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+                      pipeline=dict(size=1), weight=dict(size=1)),
+    )
+    launch(config, seed=1024)
+    model, params = initialize_model()
+    assert "moe" in params["blocks"] and "w1" not in params["blocks"]
+    opt_state, lr_sched, b2 = initialize_optimizer(model, params)
+    trainer = initialize_trainer(model, params, opt_state, lr_sched, b2)
+    train_dl, _ = build_train_loader_with_data_type()
+    it = iter(train_dl)
+    losses, moes = [], []
+    for _ in range(3):
+        batch = next(it)
+        rows = batch[0]["input_ids"].shape[0]
+        device_batch = batch_to_device(batch, micro_num=rows // gpc.sizes.dp_total)
+        metrics = trainer.execute_schedule(device_batch)
+        losses.append(float(metrics["loss"]))
+        moes.append(float(metrics["moe_loss"]))
+    assert all(np.isfinite(losses))
+    assert all(m > 0 for m in moes), moes
