@@ -1,0 +1,221 @@
+"""Sequence generation with kv-cache.
+
+Parity: reference ``internlm/apis/inference.py`` — ``SequenceGenerator`` (:66)
+with greedy / sampling / beam search (:188,:257,:477), ``InferenceParams``
+kv-cache (:13) updated inside attention (``multi_head_attention.py:240-294``),
+and top-k/top-p filtering (:925).
+
+TPU-native: the decode loop is a jitted single-token step over a static-shape
+ring of kv caches (L, B, max_len, Hkv, D); prefill is one forward over the
+padded prompt.  Python drives the loop (generation lengths are data-dependent);
+each step is one compiled program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.base import ModelConfig, _dense, _norm, split_qkv
+from ..ops.rotary import apply_rotary, rope_frequencies
+
+
+@dataclasses.dataclass
+class InferenceParams:
+    """kv-cache container (reference ``inference.py:13``)."""
+
+    max_sequence_len: int
+    max_batch_size: int
+    sequence_len_offset: int = 0
+    key_value_memory_dict: dict = dataclasses.field(default_factory=dict)
+
+    def reorder_state(self, indices):
+        self.key_value_memory_dict = jax.tree.map(
+            lambda c: jnp.take(c, indices, axis=1), self.key_value_memory_dict
+        )
+
+
+def init_kv_cache(cfg: ModelConfig, batch_size: int, max_len: int) -> dict:
+    L, Hkv, D = cfg.num_layers, cfg.num_kv_attention_heads, cfg.head_dim
+    return {
+        "k": jnp.zeros((L, batch_size, max_len, Hkv, D), cfg.dtype),
+        "v": jnp.zeros((L, batch_size, max_len, Hkv, D), cfg.dtype),
+    }
+
+
+def _cached_attention(cfg: ModelConfig, q, k_cache, v_cache, cache_len):
+    """q: (B, T, Hq, D); caches: (B, maxS, Hkv, D); positions < cache_len valid."""
+    B, T, Hq, D = q.shape
+    Hkv = k_cache.shape[2]
+    n_rep = Hq // Hkv
+    maxS = k_cache.shape[1]
+    k = jnp.broadcast_to(k_cache[:, :, :, None, :], (B, maxS, Hkv, n_rep, D)).reshape(B, maxS, Hq, D)
+    v = jnp.broadcast_to(v_cache[:, :, :, None, :], (B, maxS, Hkv, n_rep, D)).reshape(B, maxS, Hq, D)
+    scale = 1.0 / math.sqrt(D)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+    kv_pos = jnp.arange(maxS)[None, None, None, :]
+    q_pos = (cache_len - T) + jnp.arange(T)[None, None, :, None]
+    mask = kv_pos <= q_pos
+    logits = jnp.where(mask, logits, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype)
+
+
+def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
+                      kv_cache: dict, cache_index: jax.Array):
+    """Forward T tokens appending to the cache at ``cache_index``.
+
+    Returns (logits (B, T, V), new_kv_cache).  Used both for prefill (T =
+    prompt length) and decode (T = 1).
+    """
+    B, T = input_ids.shape
+    positions = cache_index + jnp.arange(T)[None, :]
+    emb = params["embedding"]["weight"]
+    x = jnp.take(emb, input_ids, axis=0).astype(cfg.dtype)
+
+    cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
+
+    def layer_step(h, inputs):
+        layer, k_cache_l, v_cache_l = inputs
+        residual = h
+        hn = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
+        qkv = _dense(hn, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+        q, k, v = split_qkv(cfg, qkv)
+        q = apply_rotary(q, cos, sin)
+        k = apply_rotary(k, cos, sin)
+        k_cache_l = jax.lax.dynamic_update_slice(k_cache_l, k, (0, cache_index, 0, 0))
+        v_cache_l = jax.lax.dynamic_update_slice(v_cache_l, v, (0, cache_index, 0, 0))
+        ctx = _cached_attention(cfg, q, k_cache_l, v_cache_l, cache_index + T)
+        ctx = ctx.reshape(B, T, -1)
+        attn_out = _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
+        residual = attn_out + residual
+        hn = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
+        w1o = _dense(hn, layer["w1"]["kernel"], layer["w1"].get("bias"))
+        w3o = _dense(hn, layer["w3"]["kernel"], layer["w3"].get("bias"))
+        mlp_out = _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"], layer["w2"].get("bias"))
+        return (mlp_out + residual).astype(cfg.dtype), (k_cache_l, v_cache_l)
+
+    h = x
+    new_k, new_v = [], []
+    # python loop over layers: decode graphs are small; scan would also work
+    for lidx in range(cfg.num_layers):
+        layer = jax.tree.map(lambda a: a[lidx], params["blocks"])
+        h, (k_l, v_l) = layer_step(h, (layer, kv_cache["k"][lidx], kv_cache["v"][lidx]))
+        new_k.append(k_l)
+        new_v.append(v_l)
+
+    other = {"norm": params["norm"], "head": params["head"]}
+    if "norm_bias" in params:
+        other["norm_bias"] = params["norm_bias"]
+    h = _norm(cfg, h, other["norm"], other.get("norm_bias"))
+    w = other["head"]["kernel"]
+    if cfg.norm_head:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
+        w = (w / (norm + 1e-7)).astype(w.dtype)
+    logits = jnp.dot(h, w.astype(h.dtype)).astype(jnp.float32)
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+def top_k_top_p_filtering(logits: jax.Array, top_k: int = 0, top_p: float = 1.0,
+                          filter_value: float = -float("inf")) -> jax.Array:
+    """Reference ``inference.py:925`` semantics."""
+    if top_k > 0:
+        kth = jnp.sort(logits, axis=-1)[..., -top_k][..., None]
+        logits = jnp.where(logits < kth, filter_value, logits)
+    if top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_mask = cum - probs > top_p  # keep tokens until cum prob exceeds top_p
+        sorted_filtered = jnp.where(cutoff_mask, filter_value, sorted_logits)
+        threshold = jnp.min(jnp.where(cutoff_mask, jnp.inf, sorted_logits), axis=-1, keepdims=True)
+        logits = jnp.where(logits < threshold, filter_value, logits)
+    return logits
+
+
+class SequenceGenerator:
+    """Greedy / sampling / beam generation (reference ``inference.py:66``)."""
+
+    def __init__(self, decoder, tokenizer=None, bos_token_id: int = 1,
+                 pad_token_id: int = 0, eos_token_id: int = 2,
+                 additional_eos_token_list=None):
+        """``decoder``: (model ModelDef, params) pair or object with .config/.params."""
+        if isinstance(decoder, tuple):
+            self.model, self.params = decoder
+        else:
+            self.model, self.params = decoder.model, decoder.params
+        self.cfg: ModelConfig = self.model.config
+        self.bos_token_id = bos_token_id
+        self.pad_token_id = pad_token_id
+        self.eos_token_id = eos_token_id
+        self.additional_eos = set(additional_eos_token_list or [])
+        self._decode_jit = jax.jit(partial(model_decode_step, self.cfg), donate_argnums=(2,))
+
+    def generate(self, tokens: Optional[jax.Array] = None, num_return_sequences: int = 1,
+                 max_length: int = 64, do_sample: bool = False,
+                 temperature: float = 1.0, top_k: int = 50, top_p: float = 1.0,
+                 repetition_penalty: float = 1.0, length_penalty: float = 1.0,
+                 seed: int = 0) -> jax.Array:
+        if tokens is None:
+            tokens = jnp.full((1, 1), self.bos_token_id, jnp.int32)
+        tokens = jnp.asarray(tokens, jnp.int32)
+        B, prompt_len = tokens.shape
+        if num_return_sequences > 1:
+            tokens = jnp.repeat(tokens, num_return_sequences, axis=0)
+            B = B * num_return_sequences
+
+        kv_cache = init_kv_cache(self.cfg, B, max_length)
+        logits, kv_cache = self._decode_jit(self.params, tokens, kv_cache, jnp.zeros((), jnp.int32))
+        next_logits = logits[:, -1, :]
+
+        rng = jax.random.PRNGKey(seed)
+        out = np.full((B, max_length), self.pad_token_id, np.int32)
+        out[:, :prompt_len] = np.asarray(tokens)
+        finished = np.zeros((B,), bool)
+        eos_set = {self.eos_token_id} | self.additional_eos
+
+        cur = prompt_len
+        while cur < max_length:
+            step_logits = next_logits / max(temperature, 1e-6)
+            if repetition_penalty != 1.0:
+                step_np = np.asarray(step_logits)
+                for b in range(B):
+                    seen = np.unique(out[b, :cur])
+                    pos = step_np[b, seen] > 0
+                    step_np[b, seen] = np.where(pos, step_np[b, seen] / repetition_penalty,
+                                                step_np[b, seen] * repetition_penalty)
+                step_logits = jnp.asarray(step_np)
+            if do_sample:
+                step_logits = top_k_top_p_filtering(step_logits, top_k=top_k, top_p=top_p)
+                rng, sub = jax.random.split(rng)
+                next_tok = jax.random.categorical(sub, step_logits, axis=-1)
+            else:
+                next_tok = jnp.argmax(step_logits, axis=-1)
+            next_np = np.asarray(next_tok)
+            next_np = np.where(finished, self.pad_token_id, next_np)
+            out[:, cur] = next_np
+            finished |= np.isin(next_np, list(eos_set))
+            if finished.all():
+                cur += 1
+                break
+            logits, kv_cache = self._decode_jit(
+                self.params, jnp.asarray(next_np[:, None]), kv_cache, jnp.asarray(cur, jnp.int32))
+            next_logits = logits[:, -1, :]
+            cur += 1
+        return jnp.asarray(out[:, :cur])
+
+    # parity aliases (reference greedy_generate/sample_generate :188,:257)
+    def greedy_generate(self, tokens, **kw):
+        kw.pop("do_sample", None)
+        return self.generate(tokens, do_sample=False, **kw)
+
+    def sample_generate(self, tokens, **kw):
+        kw.pop("do_sample", None)
+        return self.generate(tokens, do_sample=True, **kw)

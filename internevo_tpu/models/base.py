@@ -255,26 +255,22 @@ def _norm(cfg: ModelConfig, x, weight, bias=None):
 
 
 def split_qkv(cfg: ModelConfig, qkv: jax.Array):
-    """Unpack the fused wqkv output.
+    """Unpack the fused wqkv output from the per-kv-group packed layout:
+    [q * q_per_kv | k | v] x num_kv_heads (``modeling_internlm2.py:147-154``).
 
-    InternLM1 layout (``multi_head_attention.py`` rearrange "(three h d)"):
-    [q(all heads) | k(all heads) | v(all heads)].
-    InternLM2/GQA layout (``modeling_internlm2.py:147-154``): per-kv-group
-    packing [q*q_per_kv | k | v] x num_kv_heads.
+    We use this layout for ALL families (the reference's InternLM1 uses a flat
+    [q|k|v] concat, ``multi_head_attention.py`` "(three h d)") because the
+    grouped layout shards cleanly over the tensor axis at kv-group granularity
+    — required by the manual-TP pipeline path; checkpoint converters reorder at
+    import/export.  Init distributions are unaffected (i.i.d. normal).
     """
     B, S = qkv.shape[:2]
     D = cfg.head_dim
     Hq, Hkv = cfg.num_attention_heads, cfg.num_kv_attention_heads
-    if Hq == Hkv:
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-    else:
-        grouped = qkv.reshape(B, S, Hkv, (cfg.q_per_kv + 2) * D)
-        q = grouped[..., : cfg.q_per_kv * D].reshape(B, S, Hq * D)
-        k = grouped[..., cfg.q_per_kv * D : (cfg.q_per_kv + 1) * D].reshape(B, S, Hkv * D)
-        v = grouped[..., (cfg.q_per_kv + 1) * D :].reshape(B, S, Hkv * D)
-    q = q.reshape(B, S, Hq, D)
-    k = k.reshape(B, S, Hkv, D)
-    v = v.reshape(B, S, Hkv, D)
+    grouped = qkv.reshape(B, S, Hkv, (cfg.q_per_kv + 2) * D)
+    q = grouped[..., : cfg.q_per_kv * D].reshape(B, S, Hq, D)
+    k = grouped[..., cfg.q_per_kv * D : (cfg.q_per_kv + 1) * D].reshape(B, S, Hkv, D)
+    v = grouped[..., (cfg.q_per_kv + 1) * D :].reshape(B, S, Hkv, D)
     return q, k, v
 
 

@@ -1,0 +1,281 @@
+"""Pipeline parallelism: GPipe-schedule microbatch rotation via shard_map+ppermute,
+with manual Megatron tensor parallelism inside each stage.
+
+The TPU-native replacement for the reference's 1F1B schedulers
+(``internlm/core/scheduler/pipeline_scheduler.py:111-1430``), Megatron p2p ops
+(``core/communication/p2p.py``) and the hand-written TP collectives
+(``model/utils.py:228-463``), combined in one shard_map:
+
+- ``pp`` and ``tp`` are manual axes; ``dp``/``zero`` stay auto (GSPMD still
+  handles data parallelism and ZeRO inside each stage).  XLA's partitioner
+  cannot mix auto-TP resharding inside a manual-pp region (subgroup CHECK
+  failure), so TP inside the pipeline is explicit: column-parallel wqkv/w1/w3
+  shards, row-parallel out_proj/w2 with psum, hidden-split embedding with
+  all-gather, vocab-split head with a vocab-parallel cross-entropy done via
+  pmax/psum over ``tp`` (the reference's flash-attn parallel CE,
+  ``losses/ce_loss.py:10-58``).
+- The pipeline schedule is one ``lax.fori_loop`` of M + pp - 1 ticks; each tick
+  ppermutes the activation ring one stage forward and runs the local layer
+  stack on microbatch (t - stage).  Backward comes from ``jax.grad`` through
+  the loop (the transpose of ppermute is the reverse ppermute), giving a
+  GPipe-schedule bwd; activation memory is bounded by full-layer remat.
+- No shape-metadata exchange (static shapes) and no warmup/cooldown special
+  cases (the clip/where indexing covers fill and drain).
+
+Requires num_kv_heads % tp == 0 (same constraint as the reference before its
+GQA grad-sync patch, ``Initializer_GQA``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..core.context import PP, TP
+from ..models.base import ModelConfig, _norm, split_qkv
+from ..ops.attention import flash_attention
+from ..ops.rotary import apply_rotary, rope_frequencies
+
+
+def _psum_tp(x):
+    return jax.lax.psum(x, TP)
+
+
+def _local_dense(x, kernel, bias=None):
+    y = jnp.dot(x, kernel.astype(x.dtype))
+    if bias is not None:
+        y = y + bias.astype(x.dtype)
+    return y
+
+
+def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids):
+    """One pre-norm block with explicit TP collectives (mtp semantics:
+    activations replicated over tp inside the block)."""
+    B, S, H = x.shape
+    residual = x
+    if cfg.residual_in_fp32:
+        residual = residual.astype(jnp.float32)
+    h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
+
+    # column-parallel fused wqkv: local kv-groups
+    qkv = _local_dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+    local_cfg = _local_head_cfg(cfg, tp)
+    q, k, v = split_qkv(local_cfg, qkv)
+    cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    ctx = flash_attention(q, k, v, segment_ids=segment_ids,
+                          softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
+    ctx = ctx.reshape(B, S, -1)
+    # row-parallel out_proj: partial matmul + psum, bias added once after
+    attn_out = _psum_tp(jnp.dot(ctx, layer["out_proj"]["kernel"].astype(ctx.dtype)))
+    if "bias" in layer["out_proj"]:
+        attn_out = attn_out + layer["out_proj"]["bias"].astype(attn_out.dtype)
+
+    residual = (attn_out + residual).astype(residual.dtype)
+    h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
+    w1o = _local_dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
+    w3o = _local_dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
+    mlp_out = _psum_tp(jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype)))
+    if "bias" in layer.get("w2", {}):
+        mlp_out = mlp_out + layer["w2"]["bias"].astype(mlp_out.dtype)
+    return (mlp_out + residual).astype(cfg.dtype)
+
+
+def _local_head_cfg(cfg: ModelConfig, tp: int):
+    return cfg if tp == 1 else _LocalCfg(cfg, tp)
+
+
+class _LocalCfg:
+    """View of ModelConfig with per-tp-rank head counts (head_dim unchanged)."""
+
+    def __init__(self, cfg: ModelConfig, tp: int):
+        self._cfg = cfg
+        self.num_attention_heads = cfg.num_attention_heads // tp
+        self.num_kv_attention_heads = cfg.num_kv_attention_heads // tp
+        self.head_dim = cfg.head_dim
+        self.q_per_kv = self.num_attention_heads // self.num_kv_attention_heads
+
+    def __getattr__(self, name):
+        return getattr(self._cfg, name)
+
+
+def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, segment_ids):
+    n_ckpt_total = int(cfg.num_layers * cfg.checkpoint)
+    policy = None if n_ckpt_total > 0 else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    body = jax.checkpoint(
+        lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids),
+        policy=policy, prevent_cse=False,
+    )
+
+    def scan_body(h, layer):
+        return body(layer, h), None
+
+    out, _ = jax.lax.scan(scan_body, x, blocks_local)
+    return out
+
+
+def _manual_embed(cfg: ModelConfig, tp: int, embedding_local, input_ids):
+    """Hidden-split embedding: local lookup + all-gather of the hidden shards
+    (reference Embedding1D gather-forward, ``modules/embedding.py:17``)."""
+    x_local = jnp.take(embedding_local, input_ids, axis=0).astype(cfg.dtype)
+    if tp > 1:
+        x = jax.lax.all_gather(x_local, TP, axis=2, tiled=True)
+    else:
+        x = x_local
+    if cfg.embed_grad_scale != 1:
+        x = cfg.embed_grad_scale * x + (1 - cfg.embed_grad_scale) * jax.lax.stop_gradient(x)
+    return x
+
+
+def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
+                    label_smoothing: float):
+    """fp32 final norm + vocab-split head + vocab-parallel CE over tp
+    (pmax/psum replace the reference's TP-group collectives, ``metrics.py`` A.5)."""
+    h = _norm(cfg, h, other["norm"], other.get("norm_bias"))
+    w = other["head"]  # (H, V/tp) local
+    if cfg.embed_grad_scale != 1:
+        w = cfg.embed_grad_scale * w + (1 - cfg.embed_grad_scale) * jax.lax.stop_gradient(w)
+    if cfg.norm_head:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
+        gnorm = norm  # per-column norms are local to the shard
+        w = (w / jax.lax.stop_gradient(gnorm + 1e-7)).astype(w.dtype)
+    logits = jnp.dot(h, w.astype(h.dtype)).astype(jnp.float32)  # (b, S, V/tp)
+    V_local = logits.shape[-1]
+    rank = jax.lax.axis_index(TP)
+    offset = rank * V_local
+
+    flat = logits.reshape(-1, V_local)
+    lab = labels.reshape(-1)
+    valid = lab != -100
+    # pmax has no VJP; the row max is a constant in the gradient anyway
+    gmax = jax.lax.pmax(jax.lax.stop_gradient(jnp.max(flat, axis=-1)), TP)
+    sumexp = jax.lax.psum(jnp.sum(jnp.exp(flat - gmax[:, None]), axis=-1), TP)
+    lse = jnp.log(sumexp) + gmax
+
+    local_label = lab - offset
+    in_shard = (local_label >= 0) & (local_label < V_local)
+    safe = jnp.clip(local_label, 0, V_local - 1)
+    picked = jnp.take_along_axis(flat, safe[:, None], axis=-1)[:, 0]
+    label_logit = jax.lax.psum(jnp.where(in_shard, picked, 0.0), TP)
+    nll = jnp.where(valid, lse - label_logit, 0.0)
+    if label_smoothing > 0.0:
+        # mean log-prob over the vocab, assembled from the shards
+        sum_lp = jax.lax.psum(jnp.sum(flat, axis=-1), TP) - (V_local * tp) * lse
+        smooth = -sum_lp / (V_local * tp)
+        nll = jnp.where(valid, (1 - label_smoothing) * nll + label_smoothing * smooth, 0.0)
+    n_valid = jnp.sum(valid)
+    loss = jnp.sum(nll) / jnp.maximum(n_valid, 1)
+
+    # vocab-parallel accuracy (reference AccPerplex, metrics.py:129-141)
+    local_max = jnp.max(flat, axis=-1)
+    local_arg = jnp.argmax(flat, axis=-1) + offset
+    is_owner = local_max == gmax
+    correct = jax.lax.psum(jnp.where(is_owner & (local_arg == lab) & valid, 1, 0), TP)
+    n_correct = jnp.sum(jnp.clip(correct, 0, 1))
+    return loss, n_valid, n_correct
+
+
+def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0):
+    """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``."""
+    tp = mesh.shape.get(TP, 1)
+    assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
+
+    def stage_fn(blocks, embedding, norm, head, norm_bias,
+                 input_ids, positions, segment_ids, labels):
+        pp_idx = jax.lax.axis_index(PP)
+        M, b, S = input_ids.shape
+        H = cfg.hidden_size
+        T = M + pp - 1
+        other = {"norm": norm, "head": head}
+        if norm_bias is not None:
+            other["norm_bias"] = norm_bias
+
+        def embed_all():
+            return jax.vmap(lambda ids: _manual_embed(cfg, tp, embedding, ids))(input_ids)
+
+        emb = jax.lax.cond(pp_idx == 0, embed_all,
+                           lambda: jnp.zeros((M, b, S, H), cfg.dtype))
+
+        def tick(t, carry):
+            state, out_buf = carry
+            recv = jax.lax.ppermute(state, PP, [(i, i + 1) for i in range(pp - 1)])
+            mb = jnp.clip(t - pp_idx, 0, M - 1)
+            x0 = jax.lax.dynamic_index_in_dim(emb, jnp.clip(t, 0, M - 1), 0, keepdims=False)
+            x = jnp.where(pp_idx == 0, x0, recv)
+            pos = jax.lax.dynamic_index_in_dim(positions, mb, 0, keepdims=False)
+            seg = jax.lax.dynamic_index_in_dim(segment_ids, mb, 0, keepdims=False)
+            y = _stage_blocks_apply(cfg, tp, blocks, x, pos, seg)
+            out_buf = jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0)
+            return (y, out_buf)
+
+        init = (jnp.zeros((b, S, H), cfg.dtype), jnp.zeros((M, b, S, H), cfg.dtype))
+        _, out_buf = jax.lax.fori_loop(0, T, tick, init)
+
+        def per_micro(y, lab):
+            return _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
+
+        # the head runs on every stage (its cost is amortized over M micro
+        # batches); only the last stage's result survives the mask.  A cond
+        # would save the flops but device-varying cond + manual tp collectives
+        # inside diverge (collectives must run on all tp peers).
+        losses, n_valids, n_cors = jax.vmap(per_micro)(out_buf, labels)
+        is_last = (pp_idx == pp - 1).astype(jnp.float32)
+        loss_sum = jax.lax.psum(jnp.sum(losses) * is_last, PP)
+        n_tok = jax.lax.psum((jnp.sum(n_valids) * is_last).astype(jnp.int32), PP)
+        n_cor = jax.lax.psum((jnp.sum(n_cors) * is_last).astype(jnp.int32), PP)
+        return loss_sum, n_tok, n_cor
+
+    def loss_fn(params, batch):
+        blocks = params["blocks"]
+        # layer dim over pp; column-parallel output dims over tp; row-parallel
+        # input dims over tp — mirrors the GSPMD param specs (sharding.py).
+        bs = {}
+        bs["norm1"] = P(PP)
+        bs["norm2"] = P(PP)
+        if "norm1_bias" in blocks:
+            bs["norm1_bias"] = P(PP)
+            bs["norm2_bias"] = P(PP)
+        bs["wqkv"] = {"kernel": P(PP, None, TP)}
+        if "bias" in blocks["wqkv"]:
+            bs["wqkv"]["bias"] = P(PP, TP)
+        bs["out_proj"] = {"kernel": P(PP, TP, None)}
+        if "bias" in blocks["out_proj"]:
+            bs["out_proj"]["bias"] = P(PP)
+        bs["w1"] = {"kernel": P(PP, None, TP)}
+        bs["w3"] = {"kernel": P(PP, None, TP)}
+        bs["w2"] = {"kernel": P(PP, TP, None)}
+        if "bias" in blocks["w1"]:
+            bs["w1"]["bias"] = P(PP, TP)
+            bs["w3"]["bias"] = P(PP, TP)
+            bs["w2"]["bias"] = P(PP)
+
+        norm_bias = params.get("norm_bias")
+        sm = jax.shard_map(
+            stage_fn,
+            mesh=mesh,
+            in_specs=(bs, P(None, TP), P(), P(None, TP),
+                      P() if norm_bias is not None else P(),
+                      P(), P(), P(), P()),
+            out_specs=(P(), P(), P()),
+            axis_names={PP, TP},
+            check_vma=False,
+        )
+        from .sharding import constraints_disabled
+
+        with constraints_disabled():
+            loss_sum, n_tok, n_cor = sm(
+                blocks, params["embedding"]["weight"], params["norm"],
+                params["head"]["kernel"], norm_bias,
+                batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"],
+            )
+        M = batch["input_ids"].shape[0]
+        loss = loss_sum / M
+        return loss, (loss, n_tok, n_cor)
+
+    return loss_fn

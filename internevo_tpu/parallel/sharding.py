@@ -154,13 +154,13 @@ class ShardingRules:
 
     def constrain(self, x, *logical_axes: Optional[str]):
         """Annotate an activation with a sharding constraint (no-op without mesh)."""
-        if self.mesh is None:
+        if self.mesh is None or _constraints_disabled():
             return x
         spec = self.act_spec(*logical_axes)
         return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
 
     def constrain_spec(self, x, spec: P):
-        if self.mesh is None:
+        if self.mesh is None or _constraints_disabled():
             return x
         return jax.lax.with_sharding_constraint(x, NamedSharding(self.mesh, spec))
 
@@ -209,6 +209,30 @@ class ShardingRules:
             params,
             is_leaf=lambda x: isinstance(x, P),
         )
+
+
+# Inside a partial-manual shard_map (the pipeline body) full-mesh sharding
+# constraints crash XLA's SPMD partitioner (subgroup CHECK failure); the
+# pipeline disables them and lets GSPMD infer activation shardings from the
+# weights.
+import contextlib as _contextlib
+import threading as _threading
+
+_TLS = _threading.local()
+
+
+def _constraints_disabled() -> bool:
+    return getattr(_TLS, "disabled", False)
+
+
+@_contextlib.contextmanager
+def constraints_disabled():
+    prev = getattr(_TLS, "disabled", False)
+    _TLS.disabled = True
+    try:
+        yield
+    finally:
+        _TLS.disabled = prev
 
 
 # Module-level active rules, set by the train glue; models read it at trace time.

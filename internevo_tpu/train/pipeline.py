@@ -128,11 +128,20 @@ def initialize_optimizer(model: ModelDef, params) -> tuple[Any, Any, Any]:
 
 def initialize_trainer(model: ModelDef, params, opt_state, lr_scheduler, beta2_scheduler) -> Trainer:
     rules = get_rules()
-    train_step = make_train_step(
-        model, _adam_cfg(), _scaler_cfg(), rules,
-        label_smoothing=gpc.config.loss.get("label_smoothing", 0),
-        moe_loss_coeff=gpc.config.loss.get("moe_loss_coeff", 0.01),
-    )
+    pp = gpc.sizes.pp if gpc.sizes else 1
+    if pp > 1:
+        from ..core.scheduler.pipeline import make_pipeline_train_step
+
+        train_step = make_pipeline_train_step(
+            model, _adam_cfg(), _scaler_cfg(), rules, pp,
+            label_smoothing=gpc.config.loss.get("label_smoothing", 0),
+        )
+    else:
+        train_step = make_train_step(
+            model, _adam_cfg(), _scaler_cfg(), rules,
+            label_smoothing=gpc.config.loss.get("label_smoothing", 0),
+            moe_loss_coeff=gpc.config.loss.get("moe_loss_coeff", 0.01),
+        )
     eval_step = make_eval_step(model, gpc.config.loss.get("label_smoothing", 0))
     engine = Engine(model, params, opt_state, train_step, lr_scheduler, beta2_scheduler, eval_step)
     return Trainer(engine)
