@@ -44,7 +44,9 @@ from internevo_tpu.train.pipeline import (
 )
 from internevo_tpu.utils.common import BatchSkipper, parse_args
 from internevo_tpu.utils.logger import get_logger
+from internevo_tpu.utils.simple_memory_profiler import SimpleMemoryProfiler
 from internevo_tpu.utils.timers import megatron_timer as timer
+from internevo_tpu.utils.tpudiag import empty_cache_and_diag, warmup_collectives
 from internevo_tpu.utils.writer import Writer
 
 logger = get_logger(__name__)
@@ -83,6 +85,19 @@ def main(args):
     get_tflops_func = get_tflops_func_builder()
     batch_skipper = BatchSkipper(skip_batches)
     micro_num = gpc.config.data.micro_num
+    diag_interval = gpc.config.data.get("empty_cache_and_diag_interval", 0)
+    memory_profiler = None
+    if gpc.config.get("enable_memory_profiling", False):
+        memory_profiler = SimpleMemoryProfiler(
+            engine.params, engine.opt_state,
+            activation_config=dict(
+                hidden_size=gpc.config.model.hidden_size,
+                mlp_hidden=int(gpc.config.model.hidden_size * gpc.config.model.get("mlp_ratio", 4)),
+                num_layers=gpc.config.model.num_layers,
+                tokens_per_device=gpc.config.data.packed_length,
+            ),
+        )
+    warmup_collectives(gpc.mesh)
 
     train_iter = iter(train_dl)
     gc.disable()
@@ -93,7 +108,9 @@ def main(args):
         job_name=gpc.config.get("JOB_NAME", "internevo_tpu"),
         alert_address=gpc.config.monitor.alert.get("feishu_alert_address", None),
     ):
+        last_step_time = None
         for batch_count in range(train_state.batch_count, total_steps):
+            empty_cache_and_diag(batch_count, interval=diag_interval, step_time=last_step_time)
             start_time = time.time()
             timer("one-batch").start()
 
@@ -122,6 +139,9 @@ def main(args):
                     send_alert_message(message=f"inf/nan grad at step {batch_count}, skipped")
 
             timer("one-batch").stop()
+            last_step_time = time.time() - start_time
+            if memory_profiler is not None:
+                memory_profiler.step()
             record_current_batch_training_metrics(
                 get_tflops_func=get_tflops_func,
                 logger_obj=logger,
