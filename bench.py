@@ -29,8 +29,11 @@ REFERENCE_MFU = 0.619  # A100 193/312, BASELINE.md headline
 def build_bench_config(preset: str):
     # ~700M InternLM-style model: fits one v5e-16GB chip with fp32 adam state.
     presets = {
-        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=4, ckpt=0.0),
-        "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=2, ckpt=0.0),
+        # act-ckpt on: 822M params' optimizer state takes ~11.5GB of the 16GB
+        # v5e HBM, so activations must be rematerialized (the reference's
+        # act-ckpt benchmark rows use the same trade, train_performance.md:58)
+        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=4, ckpt=1.0),
+        "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
     }
     return presets[preset]

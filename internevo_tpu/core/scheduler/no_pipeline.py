@@ -29,9 +29,24 @@ from ...solver.optimizer import AdamWConfig, GradScalerConfig, optimizer_step
 
 
 def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: float = 0.0,
-                            moe_loss_coeff: float = 0.01):
-    out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
+                            moe_loss_coeff: float = 0.01, fused_ce: bool = True):
+    cfg = model.config
     moe_loss = jnp.zeros((), jnp.float32)
+    if fused_ce and getattr(cfg, "num_experts", 1) <= 1 and cfg.norm_type == "rmsnorm":
+        # fused norm+head+CE: never materializes the (tokens, vocab) logits
+        from ...ops.fused_ce import fused_norm_head_ce
+
+        hidden = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
+                             train=True, return_hidden=True)
+        nll_sum, n_valid, n_correct = fused_norm_head_ce(
+            hidden, params["norm"], params["head"]["kernel"], micro["labels"],
+            eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
+            norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+        )
+        ce_loss = nll_sum / jnp.maximum(n_valid, 1)
+        return ce_loss, (ce_loss, n_valid, n_correct, moe_loss)
+
+    out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
     if isinstance(out, tuple):  # MoE models return (logits, {"moe": aux_loss})
         logits, aux = out
         moe_loss = aux.get("moe", moe_loss)

@@ -52,11 +52,13 @@ class JsonlDataset:
         f = self._get_mmap()
         position = int(self.offsets[idx])
         f.seek(position)
-        line = f.readline().decode("utf-8")
-        item = json.loads(line)
-        item["length"] = len(item["tokens"])
-        item["type_id"] = self.type_id
-        return item
+        raw = f.readline()
+        # native fast parse of the {"tokens": [...]} line (C++ fastpack);
+        # falls back to json.loads when the toolchain is unavailable
+        from ..native import parse_tokens_line
+
+        tokens = parse_tokens_line(raw)
+        return {"tokens": tokens.tolist(), "length": len(tokens), "type_id": self.type_id}
 
     def get_dataset_name(self) -> str:
         return str(self.resolved_path)

@@ -377,8 +377,11 @@ def model_forward(
     dropout_rng: Optional[jax.Array] = None,
     train: bool = True,
     block_fn: Optional[Callable] = None,
+    return_hidden: bool = False,
 ) -> jax.Array:
-    """Full forward over the scanned layer stack. Returns logits (B, S, V).
+    """Full forward over the scanned layer stack. Returns logits (B, S, V), or
+    the pre-final-norm hidden states when ``return_hidden`` (the fused
+    norm+head+CE path consumes those, see ``ops/fused_ce.py``).
 
     ``block_fn(layer_params, x) -> x`` overrides the block body (MoE models).
     """
@@ -418,6 +421,8 @@ def model_forward(
         x, _ = jax.lax.scan(full, x, head_blocks)
         x, _ = jax.lax.scan(light, x, tail_blocks)
 
+    if return_hidden:
+        return x
     return head_logits(cfg, params, x)
 
 

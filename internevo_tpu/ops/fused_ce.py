@@ -1,0 +1,94 @@
+"""Fused final-norm + head matmul + cross-entropy, chunked over tokens.
+
+The TPU-native equivalent of flash-attn's inplace-backward parallel
+cross-entropy (reference ``losses/ce_loss.py:27``): the reference avoids
+materializing softmax over the full vocab; here we additionally avoid
+materializing the LOGITS — for InternLM-7B (vocab 103168) full fp32 logits are
+~1.7GB per micro batch, the single largest activation.
+
+Mechanism: scan over token chunks; each chunk computes logits -> nll/argmax and
+is wrapped in ``jax.checkpoint``, so backward recomputes the chunk's logits and
+forms dH and dW incrementally (the scan transpose accumulates dW).  Everything
+downstream of the final norm lives at chunk granularity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .norm import rms_norm
+
+
+def fused_norm_head_ce(
+    hidden: jax.Array,            # (B, S, H) pre-final-norm activations
+    norm_weight: jax.Array,       # (H,)
+    head_kernel: jax.Array,       # (H, V)
+    labels: jax.Array,            # (B, S) int, -100 ignored
+    *,
+    eps: float = 1e-5,
+    embed_grad_scale: float = 1.0,
+    norm_head: bool = False,
+    label_smoothing: float = 0.0,
+    chunk_size: int = 512,
+    compute_acc: bool = True,
+):
+    """Returns (nll_sum fp32, n_valid, n_correct)."""
+    B, S, H = hidden.shape
+    V = head_kernel.shape[1]
+    tokens = B * S
+    flat_h = hidden.reshape(tokens, H)
+    flat_lab = labels.reshape(tokens)
+
+    chunk_size = min(chunk_size, tokens)
+    # pad to a multiple of chunk_size with ignored labels
+    rem = (-tokens) % chunk_size
+    if rem:
+        flat_h = jnp.concatenate([flat_h, jnp.zeros((rem, H), flat_h.dtype)])
+        flat_lab = jnp.concatenate([flat_lab, jnp.full((rem,), -100, flat_lab.dtype)])
+    nc = flat_h.shape[0] // chunk_size
+    h_chunks = flat_h.reshape(nc, chunk_size, H)
+    lab_chunks = flat_lab.reshape(nc, chunk_size)
+
+    w = head_kernel
+    if embed_grad_scale != 1:
+        w = embed_grad_scale * w + (1 - embed_grad_scale) * jax.lax.stop_gradient(w)
+    if norm_head:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
+        w = (w / jax.lax.stop_gradient(norm + 1e-7)).astype(w.dtype)
+
+    def chunk_body(h_c, lab_c, w):
+        hn = rms_norm(h_c, norm_weight, eps=eps, out_dtype=h_c.dtype)
+        logits = jnp.dot(hn, w.astype(hn.dtype)).astype(jnp.float32)  # (c, V)
+        valid = lab_c != -100
+        safe = jnp.where(valid, lab_c, 0)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        picked = jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        nll = lse - picked
+        if label_smoothing > 0.0:
+            # mean over vocab of -log p = lse - mean(logits)
+            smooth = lse - jnp.mean(logits, axis=-1)
+            nll = (1 - label_smoothing) * nll + label_smoothing * smooth
+        nll_sum = jnp.sum(jnp.where(valid, nll, 0.0))
+        n_valid = jnp.sum(valid)
+        if compute_acc:
+            pred = jnp.argmax(logits, axis=-1)
+            n_cor = jnp.sum((pred == lab_c) & valid)
+        else:
+            n_cor = jnp.zeros((), jnp.int32)
+        return nll_sum, n_valid, n_cor
+
+    body = jax.checkpoint(chunk_body, prevent_cse=False)
+
+    def scan_body(carry, xs):
+        nll_acc, tok_acc, cor_acc = carry
+        h_c, lab_c = xs
+        nll, n_valid, n_cor = body(h_c, lab_c, w)
+        return (nll_acc + nll, tok_acc + n_valid, cor_acc + n_cor), None
+
+    init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    (nll_sum, n_valid, n_correct), _ = jax.lax.scan(scan_body, init, (h_chunks, lab_chunks))
+    return nll_sum, n_valid, n_correct
