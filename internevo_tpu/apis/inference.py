@@ -219,3 +219,52 @@ class SequenceGenerator:
     def sample_generate(self, tokens, **kw):
         kw.pop("do_sample", None)
         return self.generate(tokens, do_sample=True, **kw)
+
+    def beam_search_generate(self, tokens, num_beams: int = 4, max_length: int = 64,
+                             length_penalty: float = 1.0, temperature: float = 1.0) -> jax.Array:
+        """Beam search (reference ``_beam_search_generate``, inference.py:560+):
+        expand the batch to num_beams, keep per-step top beams by cumulative
+        log-prob, reorder kv caches with the beam backpointers, apply length
+        penalty at finalization."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        B, prompt_len = tokens.shape
+        assert B == 1, "beam search currently supports batch size 1"
+        beams = jnp.repeat(tokens, num_beams, axis=0)
+
+        kv_cache = init_kv_cache(self.cfg, num_beams, max_length)
+        logits, kv_cache = self._decode_jit(self.params, beams, kv_cache, jnp.zeros((), jnp.int32))
+        logp = jax.nn.log_softmax(logits[:, -1, :] / max(temperature, 1e-6), axis=-1)
+
+        V = logp.shape[-1]
+        # first expansion: all beams share the prompt, pick top num_beams tokens
+        top_lp, top_tok = jax.lax.top_k(logp[0], num_beams)
+        out = np.full((num_beams, max_length), self.pad_token_id, np.int32)
+        out[:, :prompt_len] = np.asarray(beams)
+        out[:, prompt_len] = np.asarray(top_tok)
+        scores = np.asarray(top_lp, np.float64)
+        finished = np.zeros(num_beams, bool)
+        eos_set = {self.eos_token_id} | self.additional_eos
+
+        cur = prompt_len + 1
+        while cur < max_length and not finished.all():
+            logits, kv_cache = self._decode_jit(
+                self.params, jnp.asarray(out[:, cur - 1 : cur]), kv_cache,
+                jnp.asarray(cur - 1, jnp.int32))
+            logp = np.asarray(jax.nn.log_softmax(logits[:, -1, :] / max(temperature, 1e-6), axis=-1))
+            total = scores[:, None] + np.where(finished[:, None], -1e9, logp)
+            total[finished, self.pad_token_id] = scores[finished]  # frozen beams persist
+            flat = total.reshape(-1)
+            best = np.argsort(flat)[::-1][:num_beams]
+            beam_idx, tok_idx = best // V, best % V
+            out = out[beam_idx]
+            out[:, cur] = np.where(finished[beam_idx], self.pad_token_id, tok_idx)
+            scores = flat[best]
+            finished = finished[beam_idx] | np.isin(tok_idx, list(eos_set))
+            # caches are (L, B, S, H, D): beams live on axis 1
+            kv_cache = jax.tree.map(lambda c: jnp.take(c, jnp.asarray(beam_idx), axis=1), kv_cache)
+            cur += 1
+
+        lengths = np.array([(out[i] != self.pad_token_id).sum() for i in range(num_beams)])
+        final = scores / (lengths.astype(np.float64) ** length_penalty)
+        best_beam = int(np.argmax(final))
+        return jnp.asarray(out[best_beam : best_beam + 1, :cur])

@@ -101,3 +101,19 @@ def test_eos_stops_generation():
     gen = SequenceGenerator((model, params), eos_token_id=first_tok)
     out2 = gen.generate(prompt, max_length=8, do_sample=False)
     assert out2.shape[1] == 4  # prompt(3) + eos, then the loop exits
+
+
+def test_beam_search_generate():
+    cfg, params = _model()
+    from internevo_tpu.models.base import ModelDef
+
+    model = ModelDef(config=cfg, init=lambda r: params, apply=None)
+    gen = SequenceGenerator((model, params), eos_token_id=-1)
+    prompt = jnp.asarray([[5, 9, 3]], jnp.int32)
+    beam_out = gen.beam_search_generate(prompt, num_beams=3, max_length=10)
+    assert beam_out.shape[0] == 1 and beam_out.shape[1] == 10
+    np.testing.assert_array_equal(np.asarray(beam_out[0, :3]), [5, 9, 3])
+    # beam-1 must equal greedy
+    beam1 = gen.beam_search_generate(prompt, num_beams=1, max_length=10)
+    greedy = gen.generate(prompt, max_length=10, do_sample=False)
+    np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))

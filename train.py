@@ -103,6 +103,12 @@ def main(args):
     gc.disable()
     gc.collect()
 
+    # --profiling: jax profiler traces (reference torch.profiler wrapper,
+    # train/pipeline.py:417-459); TB-compatible trace in the profiling folder
+    profiling = getattr(args, "profiling", False)
+    profile_dir = f"RUN/{gpc.config.get('JOB_NAME', 'job')}/jax_trace"
+    profile_schedule = (3, 7)  # (start_batch, stop_batch)
+
     logger.info("start training from batch_count=%d", train_state.batch_count)
     with initialize_monitor_manager(
         job_name=gpc.config.get("JOB_NAME", "internevo_tpu"),
@@ -110,6 +116,12 @@ def main(args):
     ):
         last_step_time = None
         for batch_count in range(train_state.batch_count, total_steps):
+            if profiling and batch_count == profile_schedule[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profiling and batch_count == profile_schedule[1]:
+                jax.effects_barrier()
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
             empty_cache_and_diag(batch_count, interval=diag_interval, step_time=last_step_time)
             start_time = time.time()
             timer("one-batch").start()
