@@ -28,12 +28,14 @@ def make_pipeline_train_step(
     rules: ShardingRules,
     pp: int,
     label_smoothing: float = 0.0,
+    num_chunks: int = 1,
     donate: bool = True,
 ) -> Callable:
     """The pipeline microbatch loop replaces the grad-accumulation scan: all
     micro_num microbatches flow through the pipeline in one fwd/bwd pass
     (reference behavior: the 1F1B loop consumes every micro batch)."""
-    loss_fn = pipeline_loss_fn(model.config, rules.mesh, pp, label_smoothing)
+    loss_fn = pipeline_loss_fn(model.config, rules.mesh, pp, label_smoothing,
+                               num_chunks=num_chunks)
 
     def train_step(params, opt_state, batch, lr, beta2):
         scale = opt_state["grad_scale"]

@@ -181,17 +181,28 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
     return loss, n_valid, n_correct
 
 
-def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0):
-    """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``."""
+def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
+                     num_chunks: int = 1):
+    """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``.
+
+    ``num_chunks > 1`` enables the interleaved (circular/virtual-chunk)
+    schedule, parity with the reference ``InterleavedPipelineScheduler``
+    (``pipeline_scheduler.py:711-1430``): each stage owns ``num_chunks``
+    strided layer groups (chunk c on stage s = layer group c*pp + s), the
+    activation ring rotates every tick, and stage pp-1 -> stage 0 handoff
+    advances the chunk.  Requires M % pp == 0 (reference :743); the bubble
+    shrinks from (pp-1)/(M+pp-1) to (pp-1)/(M*C+pp-1).
+    """
     tp = mesh.shape.get(TP, 1)
+    C = num_chunks
     assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
+    assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
                  input_ids, positions, segment_ids, labels):
         pp_idx = jax.lax.axis_index(PP)
         M, b, S = input_ids.shape
         H = cfg.hidden_size
-        T = M + pp - 1
         other = {"norm": norm, "head": head}
         if norm_bias is not None:
             other["norm_bias"] = norm_bias
@@ -202,16 +213,42 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
         emb = jax.lax.cond(pp_idx == 0, embed_all,
                            lambda: jnp.zeros((M, b, S, H), cfg.dtype))
 
+        # blocks arrive as the local slice of the (C*pp, L/(C*pp), ...) layout
+        # = (C, L/(C*pp), ...) per stage; chunk c's group is blocks[:, c].
+        if C > 1:
+            blocks_c = jax.tree.map(lambda a: a.reshape(C, a.shape[0] // C, *a.shape[1:]), blocks)
+
+        def run_chunk(chunk_idx, x, pos, seg):
+            if C == 1:
+                return _stage_blocks_apply(cfg, tp, blocks, x, pos, seg)
+            local = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, chunk_idx, 0, keepdims=False),
+                                 blocks_c)
+            return _stage_blocks_apply(cfg, tp, local, x, pos, seg)
+
+        T = M * C + pp - 1
+
         def tick(t, carry):
             state, out_buf = carry
-            recv = jax.lax.ppermute(state, PP, [(i, i + 1) for i in range(pp - 1)])
-            mb = jnp.clip(t - pp_idx, 0, M - 1)
-            x0 = jax.lax.dynamic_index_in_dim(emb, jnp.clip(t, 0, M - 1), 0, keepdims=False)
-            x = jnp.where(pp_idx == 0, x0, recv)
+            # full ring: stage pp-1 hands chunk c's output to stage 0 (chunk c+1)
+            perm = [(i, (i + 1) % pp) for i in range(pp)] if C > 1 else [(i, i + 1) for i in range(pp - 1)]
+            recv = jax.lax.ppermute(state, PP, perm)
+            u = jnp.clip(t - pp_idx, 0, M * C - 1)
+            phase = u // pp
+            chunk = phase % C
+            group = phase // C
+            mb = group * pp + (u % pp)
+            is_entry = jnp.logical_and(pp_idx == 0, chunk == 0)
+            x0 = jax.lax.dynamic_index_in_dim(emb, mb, 0, keepdims=False)
+            x = jnp.where(is_entry, x0, recv)
             pos = jax.lax.dynamic_index_in_dim(positions, mb, 0, keepdims=False)
             seg = jax.lax.dynamic_index_in_dim(segment_ids, mb, 0, keepdims=False)
-            y = _stage_blocks_apply(cfg, tp, blocks, x, pos, seg)
-            out_buf = jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0)
+            y = run_chunk(chunk, x, pos, seg)
+            is_exit = jnp.logical_and(pp_idx == pp - 1, chunk == C - 1)
+            out_buf = jnp.where(
+                is_exit,
+                jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0),
+                out_buf,
+            ) if C > 1 else jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0)
             return (y, out_buf)
 
         init = (jnp.zeros((b, S, H), cfg.dtype), jnp.zeros((M, b, S, H), cfg.dtype))
@@ -233,6 +270,17 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
 
     def loss_fn(params, batch):
         blocks = params["blocks"]
+        if C > 1:
+            # natural layer order assigns group v = c*pp + s (chunk-major,
+            # reference interleaved mapping); shard_map slices the layer dim
+            # contiguously per stage, so permute groups into (stage, chunk)
+            # order: stage s's shard then holds its C chunks back-to-back.
+            L = cfg.num_layers
+            Lg = L // (C * pp)
+            group_order = [c * pp + s for s in range(pp) for c in range(C)]
+            layer_idx = jnp.asarray(
+                [v * Lg + i for v in group_order for i in range(Lg)], jnp.int32)
+            blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
         # layer dim over pp; column-parallel output dims over tp; row-parallel
         # input dims over tp — mirrors the GSPMD param specs (sharding.py).
         bs = {}

@@ -132,9 +132,13 @@ def initialize_trainer(model: ModelDef, params, opt_state, lr_scheduler, beta2_s
     if pp > 1:
         from ..core.scheduler.pipeline import make_pipeline_train_step
 
+        # num_chunks > 1 selects the interleaved schedule (reference puts it in
+        # model cfg, initialize_trainer picks the scheduler accordingly)
+        num_chunks = int(gpc.config.model.get("num_chunks", 1) or 1)
         train_step = make_pipeline_train_step(
             model, _adam_cfg(), _scaler_cfg(), rules, pp,
             label_smoothing=gpc.config.loss.get("label_smoothing", 0),
+            num_chunks=num_chunks,
         )
     else:
         train_step = make_train_step(

@@ -64,3 +64,27 @@ def test_pp2_with_tp2():
         steps=2,
     )
     np.testing.assert_allclose(losses_dp, losses_mix, rtol=3e-4, atol=3e-5)
+
+
+def test_interleaved_pp2_chunks2():
+    """Interleaved (virtual-chunk) schedule must match the dp baseline too.
+    4 layers over pp=2 x chunks=2 -> 1 layer per (stage, chunk)."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4), model=dict(num_layers=4)), steps=2, n_devices=4)
+    losses_il, _ = _run(
+        _cfg(data=dict(micro_num=4), model=dict(num_layers=4, num_chunks=2),
+             parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
+
+
+def test_interleaved_pp2_chunks2_tp2():
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4), model=dict(num_layers=4)), steps=2, n_devices=2)
+    losses_il, _ = _run(
+        _cfg(data=dict(micro_num=4), model=dict(num_layers=4, num_chunks=2),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="mtp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
