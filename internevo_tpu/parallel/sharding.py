@@ -112,11 +112,19 @@ ACT_RULES["fsp"] = ACT_RULES["msp"]
 
 @dataclasses.dataclass
 class ShardingRules:
-    """Resolves logical axis names to PartitionSpecs for the active mesh/mode."""
+    """Resolves logical axis names to PartitionSpecs for the active mesh/mode.
+
+    ``fsdp=True`` (config ``parallel.zero1.fsdp``, reference torch-FSDP
+    FULL_SHARD wrapping, ``train/pipeline.py:217-250``) additionally shards the
+    parameter STORAGE over the zero axis — ZeRO-3: XLA all-gathers weights
+    just-in-time and reduce-scatters their grads.  Applied via
+    ``fsdp_shard_specs`` where shapes are known.
+    """
 
     mesh: Optional[Mesh] = None
     tp_mode: str = "mtp"
     pipeline_parallel: bool = False
+    fsdp: bool = False
 
     def param_spec(self, *logical_axes: Optional[str]) -> P:
         rules = PARAM_RULES[self.tp_mode]
@@ -210,6 +218,19 @@ class ShardingRules:
             is_leaf=lambda x: isinstance(x, P),
         )
 
+    def fsdp_shard_specs(self, param_specs, shapes_tree):
+        """ZeRO-3: shard the params themselves over the zero axis (same rule
+        as the optimizer-state partition).  ``shapes_tree`` is a pytree of
+        arrays or ShapeDtypeStructs matching param_specs."""
+        if not self.fsdp:
+            return param_specs
+        return jax.tree.map(
+            lambda spec, p: self.zero_spec(spec, p.shape),
+            param_specs,
+            shapes_tree,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+
 
 # Inside a partial-manual shard_map (the pipeline body) full-mesh sharding
 # constraints crash XLA's SPMD partitioner (subgroup CHECK failure); the
@@ -251,8 +272,14 @@ def get_rules() -> ShardingRules:
 def current_rules_from_context() -> ShardingRules:
     from ..core.context import gpc
 
+    zero_cfg = gpc.config.get("parallel", {}).get("zero1", {}) if gpc.config else {}
+    fsdp = bool(zero_cfg.get("fsdp", False)) if isinstance(zero_cfg, dict) else False
+    pp = (gpc.sizes.pp > 1) if gpc.sizes else False
+    if fsdp:
+        assert not pp, "zero1.fsdp requires pp == 1 (reference launch.py constraint)"
     return ShardingRules(
         mesh=gpc.mesh,
         tp_mode=gpc.tensor_mode,
-        pipeline_parallel=(gpc.sizes.pp > 1) if gpc.sizes else False,
+        pipeline_parallel=pp,
+        fsdp=fsdp,
     )

@@ -57,6 +57,10 @@ def initialize_model() -> tuple[ModelDef, Any]:
     rng = gpc.rng("model")
     if rules.mesh is not None:
         specs = model.specs()
+        if rules.fsdp:
+            shapes = jax.eval_shape(model.init, rng)
+            specs = rules.fsdp_shard_specs(specs, shapes)
+            model.specs = lambda: specs  # downstream consumers see fsdp specs
         shardings = jax.tree.map(lambda s: NamedSharding(rules.mesh, s), specs,
                                  is_leaf=lambda x: isinstance(x, P))
         params = jax.jit(model.init, out_shardings=shardings)(rng)

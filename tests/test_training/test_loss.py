@@ -136,3 +136,15 @@ def test_grad_accum_equivalence():
     losses_a, gn_a = run_training(demo_config(data=dict(micro_num=4, micro_bsz=1, seq_len=256)), steps=3)
     assert all(np.isfinite(losses_a))
     assert all(np.isfinite(gn_a))
+
+
+def test_topology_equivalence_fsdp():
+    """zero1.fsdp=True (ZeRO-3 param sharding) must keep the loss curve."""
+    losses_dp, _ = run_training(demo_config(), steps=3)
+    losses_fsdp, _ = run_training(
+        demo_config(parallel=dict(zero1=dict(size=-1, fsdp=True),
+                                  tensor=dict(size=1, mode="mtp"),
+                                  pipeline=dict(size=1), weight=dict(size=1))),
+        steps=3,
+    )
+    np.testing.assert_allclose(losses_dp, losses_fsdp, rtol=2e-4, atol=2e-5)
