@@ -28,6 +28,7 @@ class Engine:
         lr_scheduler: CosineAnnealingWarmupLR,
         beta2_scheduler: Optional[Beta2Scheduler] = None,
         eval_step_fn: Optional[Callable] = None,
+        scheduler_hooks: Optional[list] = None,
     ):
         self.model = model
         self.params = params
@@ -36,6 +37,7 @@ class Engine:
         self.eval_step_fn = eval_step_fn
         self.lr_scheduler = lr_scheduler
         self.beta2_scheduler = beta2_scheduler
+        self.scheduler_hooks = scheduler_hooks or []
         self._training = True
         self.current_lr = 0.0
 
@@ -55,9 +57,14 @@ class Engine:
         lr = self.lr_scheduler.get_lr(step)
         beta2 = self.beta2_scheduler.get_beta2(step + 1) if self.beta2_scheduler else None
         self.current_lr = lr
+        for hook in self.scheduler_hooks:
+            hook.before_forward(self, batch)
         self.params, self.opt_state, metrics = self.train_step_fn(
             self.params, self.opt_state, batch, lr, beta2
         )
+        for hook in self.scheduler_hooks:
+            hook.after_backward(self, None)
+            hook.post_helper_func(self, metrics)
         return metrics
 
     def run_eval_step(self, batch: dict) -> dict:

@@ -75,6 +75,7 @@ class ModelConfig:
     o_bias: bool = True              # InternLM1: True; others: False
     mlp_bias: bool = False
     norm_head: bool = False          # InternLM2 baichuan2-style normalized head
+    is_reward: bool = False          # reward model: scalar head (ref RewardModelLinear)
     init_std: float = 0.0052         # embedding/head init
     attn_wqkv_init_std: float = 0.006
     attn_other_init_std: float = 0.0015
@@ -182,11 +183,14 @@ def init_block_params(cfg: ModelConfig, key: jax.Array) -> dict:
 
 def init_params(cfg: ModelConfig, key: jax.Array) -> dict:
     k_embed, k_blocks, k_head = jax.random.split(key, 3)
+    # reward models emit one scalar per token (reference RewardModelLinear,
+    # ops/linear.py:156: head out_features collapses to 1 logical output)
+    head_out = 1 if cfg.is_reward else cfg.vocab_size
     params = {
         "embedding": {"weight": _normal(k_embed, (cfg.vocab_size, cfg.hidden_size), cfg.init_std)},
         "blocks": init_block_params(cfg, k_blocks),
         "norm": jnp.ones((cfg.hidden_size,), jnp.float32),
-        "head": {"kernel": _normal(k_head, (cfg.hidden_size, cfg.vocab_size), cfg.out_head_init_std)},
+        "head": {"kernel": _normal(k_head, (cfg.hidden_size, head_out), cfg.out_head_init_std)},
     }
     if cfg.norm_type == "layernorm":
         params["norm_bias"] = jnp.zeros((cfg.hidden_size,), jnp.float32)
@@ -231,7 +235,7 @@ def param_specs(cfg: ModelConfig) -> dict:
         "embedding": {"weight": p(None, "embed_out")},
         "blocks": block_param_specs(cfg),
         "norm": p("norm"),
-        "head": {"kernel": p("embed", "vocab")},
+        "head": {"kernel": p("embed") if cfg.is_reward else p("embed", "vocab")},
     }
     if cfg.norm_type == "layernorm":
         specs["norm_bias"] = p("norm")

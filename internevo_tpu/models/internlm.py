@@ -23,7 +23,6 @@ def build_model_with_cfg(**kwargs) -> ModelDef:
     kwargs.pop("num_chunks", None)
     kwargs.pop("embed_split_hidden", None)
     kwargs.pop("apply_post_layer_norm", None)
-    kwargs.pop("is_reward", None)
     kwargs.pop("dropout_selective_checkpoint", None)
     kwargs.pop("use_flash_attn", None)
     kwargs.pop("adapt_hf", None)

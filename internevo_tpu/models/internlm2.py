@@ -18,7 +18,7 @@ from .base import ModelConfig, ModelDef, init_params, model_forward
 
 def _build(**kwargs) -> ModelDef:
     for k in (
-        "num_chunks", "embed_split_hidden", "apply_post_layer_norm", "is_reward",
+        "num_chunks", "embed_split_hidden", "apply_post_layer_norm",
         "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
     ):
         kwargs.pop(k, None)

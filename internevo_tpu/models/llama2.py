@@ -22,7 +22,7 @@ MODEL_TYPE = "LLAMA2"
 @MODEL_INITIALIZER.register_module(MODEL_TYPE)
 def build_model_with_cfg(**kwargs) -> ModelDef:
     for k in (
-        "num_chunks", "embed_split_hidden", "apply_post_layer_norm", "is_reward",
+        "num_chunks", "embed_split_hidden", "apply_post_layer_norm",
         "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
     ):
         kwargs.pop(k, None)

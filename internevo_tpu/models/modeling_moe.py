@@ -144,7 +144,7 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
 
 @MODEL_INITIALIZER.register_module(MODEL_TYPE)
 def build_model_with_cfg(**kwargs) -> ModelDef:
-    for k in ("num_chunks", "embed_split_hidden", "apply_post_layer_norm", "is_reward",
+    for k in ("num_chunks", "embed_split_hidden", "apply_post_layer_norm",
               "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
               "moe_use_residual", "moe_type", "moe_gate_k"):
         kwargs.pop(k, None)
