@@ -32,7 +32,7 @@ def build_bench_config(preset: str):
         # act-ckpt on: 822M params' optimizer state takes ~11.5GB of the 16GB
         # v5e HBM, so activations must be rematerialized (the reference's
         # act-ckpt benchmark rows use the same trade, train_performance.md:58)
-        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=1, micro_num=4, ckpt=1.0),
+        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
         "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
     }
@@ -72,9 +72,12 @@ def main():
     P_len = seq * micro_bsz
     dp = gpc.sizes.dp_total
     rng = np.random.RandomState(0)
+    # segments mark the micro_bsz packed samples per row (block-diagonal
+    # attention, consistent with the seq_len term of the flops accounting)
+    seg_row = np.repeat(np.arange(1, micro_bsz + 1, dtype=np.int32), seq)
     batch = {
         "input_ids": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
-        "segment_ids": jnp.ones((micro_num, dp, P_len), jnp.int32),
+        "segment_ids": jnp.asarray(np.tile(seg_row, (micro_num, dp, 1))),
         "indexes": jnp.asarray(np.tile(np.arange(seq, dtype=np.int32), (micro_num, dp, micro_bsz))),
         "labels": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
     }

@@ -88,7 +88,10 @@ MODE_TO_AXES: dict[ParallelMode, tuple[str, ...]] = {
     ParallelMode.DUMMY: (),
 }
 
-TP_MODES = ("mtp", "msp", "fsp", "isp")
+# "rsp" (ring sequence parallel) is a TPU-native extension: isp weight/
+# activation layout with ring attention instead of the Ulysses all-to-all,
+# removing the head-count bound on sequence scaling (SURVEY §2.10).
+TP_MODES = ("mtp", "msp", "fsp", "isp", "rsp")
 
 
 @dataclasses.dataclass

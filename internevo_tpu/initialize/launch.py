@@ -66,8 +66,8 @@ def args_sanity_check() -> None:
     if not isinstance(parallel.pipeline, dict):
         parallel.pipeline = Config(dict(size=parallel.pipeline, interleaved_overlap=True))
     parallel.setdefault("weight", Config(dict(size=1, overlap=True, memory_pool=True)))
-    parallel.setdefault("sequence_parallel", parallel.tensor.mode in ("msp", "fsp", "isp"))
-    assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp"), parallel.tensor.mode
+    parallel.setdefault("sequence_parallel", parallel.tensor.mode in ("msp", "fsp", "isp", "rsp"))
+    assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp", "rsp"), parallel.tensor.mode
     if parallel.weight.get("size", 1) > 1:
         assert parallel.tensor.mode == "isp", "weight parallel requires isp (ref launch.py:383-384)"
 

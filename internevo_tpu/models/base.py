@@ -291,14 +291,36 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
-    # isp/Ulysses: reshard seq-sharded -> head-sharded (GSPMD emits all-to-all,
-    # the reference's DistributedAttention `_SeqAllToAll`, multi_head_attention.py:27-135)
-    q = sh.constrain(q, "batch", None, "act_heads", None)
-    k = sh.constrain(k, "batch", None, "act_heads", None)
-    v = sh.constrain(v, "batch", None, "act_heads", None)
+    if sh.tp_mode == "rsp" and sh.mesh is not None and sh.mesh.shape["tp"] > 1:
+        # ring sequence parallel: attention runs on sequence-sharded chunks with
+        # kv rotating around the tp ring (parallel/ring_attention.py) — no
+        # head-count bound and only neighbor ICI traffic.
+        from functools import partial as _partial
 
-    ctx = flash_attention(q, k, v, segment_ids=segment_ids, softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
-    ctx = sh.constrain(ctx, "batch", "seq", "act_heads", None)
+        from jax.sharding import PartitionSpec as _P
+
+        from ..parallel.ring_attention import ring_attention
+
+        ring = jax.shard_map(
+            _partial(ring_attention, axis_name="tp",
+                     softmax_scale=1.0 / math.sqrt(cfg.head_dim)),
+            mesh=sh.mesh,
+            in_specs=(_P(None, "tp"), _P(None, "tp"), _P(None, "tp"), _P(None, "tp")),
+            out_specs=_P(None, "tp"),
+            axis_names={"tp"},
+            check_vma=False,
+        )
+        ctx = ring(q, k, v, segment_ids)
+    else:
+        # isp/Ulysses: reshard seq-sharded -> head-sharded (GSPMD emits all-to-all,
+        # the reference's DistributedAttention `_SeqAllToAll`, multi_head_attention.py:27-135)
+        q = sh.constrain(q, "batch", None, "act_heads", None)
+        k = sh.constrain(k, "batch", None, "act_heads", None)
+        v = sh.constrain(v, "batch", None, "act_heads", None)
+
+        ctx = flash_attention(q, k, v, segment_ids=segment_ids,
+                              softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
+        ctx = sh.constrain(ctx, "batch", "seq", "act_heads", None)
     ctx = ctx.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
     return _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
 

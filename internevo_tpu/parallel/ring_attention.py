@@ -1,0 +1,106 @@
+"""Ring attention: context parallelism over the sequence axis.
+
+The reference has NO context-parallel attention — its long-context path is
+Ulysses all-to-all (isp), whose sequence scaling is bounded by the head count
+(SURVEY §2.10 notes the gap and §7 recommends ring attention as the new axis).
+This module adds it TPU-natively:
+
+- q/k/v stay sequence-sharded over the ``tp`` mesh axis (one contiguous chunk
+  per device, positions global);
+- n ring steps: compute local flash attention of the resident q chunk against
+  the visiting kv chunk, then ``ppermute`` the kv block one step around the
+  ring (ICI neighbor traffic only, overlapped by XLA with the kernel);
+- partial results merge by log-sum-exp using the kernel's differentiable lse
+  (``ops/pallas/flash_attention.flash_attention_with_lse``);
+- causality across chunks is positional: a visiting chunk strictly before the
+  resident chunk attends fully, the resident chunk attends causally to itself,
+  later chunks are skipped (lax.cond — no compute, the ppermute still runs);
+- packed segment ids travel with the kv chunk, so samples spanning chunk
+  boundaries mask correctly.
+
+Backward is jax.grad through the scan/ppermute/cond; the lse cotangent folds
+into the flash backward's delta.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.pallas.flash_attention import flash_attention_with_lse
+
+NEG_INF = -jnp.inf
+
+
+def _merge(o_acc, lse_acc, o_r, lse_r):
+    """Numerically safe log-sum-exp merge of two partial attention results.
+    o: (B, S, H, D); lse: (B, H, S)."""
+    new_lse = jnp.logaddexp(lse_acc, lse_r)
+    # rows where both partials are empty stay empty (0 output)
+    w_acc = jnp.where(jnp.isneginf(new_lse), 0.0, jnp.exp(lse_acc - new_lse))
+    w_r = jnp.where(jnp.isneginf(new_lse), 0.0, jnp.exp(lse_r - new_lse))
+    w_acc = jnp.transpose(w_acc, (0, 2, 1))[..., None]  # (B, S, H, 1)
+    w_r = jnp.transpose(w_r, (0, 2, 1))[..., None]
+    o = o_acc * w_acc.astype(o_acc.dtype) + o_r * w_r.astype(o_r.dtype)
+    return o, new_lse
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array],
+    axis_name: str,
+    softmax_scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Inside shard_map manual over ``axis_name``: all arrays are LOCAL chunks
+    (B, S_local, H, D) / (B, S_local); chunks are ordered by device index along
+    the ring.  Returns the local chunk of the attention output."""
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    B, S_loc, Hq, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    if segment_ids is None:
+        segment_ids = jnp.ones((B, S_loc), jnp.int32)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        o_acc, lse_acc, k_r, v_r, seg_r, src = carry
+
+        def causal_chunk():
+            return flash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
+                                            kv_segment_ids=seg_r, softmax_scale=scale,
+                                            causal=True, interpret=interpret)
+
+        def full_chunk():
+            return flash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
+                                            kv_segment_ids=seg_r, softmax_scale=scale,
+                                            causal=False, interpret=interpret)
+
+        def skip_chunk():
+            return (jnp.zeros_like(q), jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32))
+
+        o_r, lse_r = jax.lax.cond(
+            src == my, causal_chunk,
+            lambda: jax.lax.cond(src < my, full_chunk, skip_chunk),
+        )
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_r, lse_r)
+
+        k_n = jax.lax.ppermute(k_r, axis_name, perm)
+        v_n = jax.lax.ppermute(v_r, axis_name, perm)
+        seg_n = jax.lax.ppermute(seg_r, axis_name, perm)
+        src_n = jax.lax.ppermute(src, axis_name, perm)
+        return (o_acc, lse_acc, k_n, v_n, seg_n, src_n), None
+
+    init = (
+        jnp.zeros_like(q),
+        jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32),
+        k, v, segment_ids, my,
+    )
+    (o, _lse, *_), _ = jax.lax.scan(step, init, None, length=n)
+    return o.astype(q.dtype)

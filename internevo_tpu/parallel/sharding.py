@@ -80,6 +80,7 @@ PARAM_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
 }
 PARAM_RULES["msp"] = PARAM_RULES["mtp"]
 PARAM_RULES["fsp"] = PARAM_RULES["mtp"]
+PARAM_RULES["rsp"] = PARAM_RULES["isp"]  # ring sequence parallel: isp layout + ring attention
 
 ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
     "mtp": {
@@ -108,6 +109,7 @@ ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
     },
 }
 ACT_RULES["fsp"] = ACT_RULES["msp"]
+ACT_RULES["rsp"] = ACT_RULES["isp"]
 
 
 @dataclasses.dataclass

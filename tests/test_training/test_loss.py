@@ -148,3 +148,14 @@ def test_topology_equivalence_fsdp():
         steps=3,
     )
     np.testing.assert_allclose(losses_dp, losses_fsdp, rtol=2e-4, atol=2e-5)
+
+
+def test_topology_equivalence_rsp():
+    """rsp (ring sequence parallel, TPU-native extension) must keep the curve."""
+    losses_dp, _ = _baseline_4dp(steps=3)
+    losses_rsp, _ = run_training(
+        demo_config(parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+                                  pipeline=dict(size=1), weight=dict(size=1))),
+        steps=3,
+    )
+    np.testing.assert_allclose(losses_dp, losses_rsp, rtol=2e-4, atol=2e-5)
