@@ -1,0 +1,106 @@
+"""Optimizer parity vs torch AdamW + grad scaler semantics.
+
+Parity: reference ``tests/test_solver/test_optimizer.py`` compares
+HybridZeroOptimizer against torch DDP+AdamW with assert_close over steps.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from internevo_tpu.solver.lr_scheduler import Beta2Scheduler, CosineAnnealingWarmupLR
+from internevo_tpu.solver.optimizer import (
+    AdamWConfig,
+    GradScalerConfig,
+    global_norm,
+    init_optimizer_state,
+    optimizer_step,
+)
+
+
+def test_adamw_matches_torch():
+    torch = pytest.importorskip("torch")
+    rng = np.random.RandomState(0)
+    w0 = rng.randn(16, 8).astype(np.float32)
+    b0 = rng.randn(8).astype(np.float32)
+
+    params = {"w": jnp.asarray(w0), "b": jnp.asarray(b0)}
+    cfg = AdamWConfig(lr=1e-2, betas=(0.9, 0.95), eps=1e-8, weight_decay=0.01,
+                      clip_grad_norm=1e9)  # disable clipping for parity
+    state = init_optimizer_state(params)
+
+    tw = torch.nn.Parameter(torch.tensor(w0))
+    tb = torch.nn.Parameter(torch.tensor(b0))
+    topt = torch.optim.AdamW([tw, tb], lr=1e-2, betas=(0.9, 0.95), eps=1e-8, weight_decay=0.01)
+
+    for step in range(5):
+        gw = rng.randn(16, 8).astype(np.float32)
+        gb = rng.randn(8).astype(np.float32)
+        grads = {"w": jnp.asarray(gw), "b": jnp.asarray(gb)}
+        params, state, stats = optimizer_step(params, grads, state, lr=1e-2, adam_cfg=cfg,
+                                              param_dtype=jnp.float32)
+        tw.grad = torch.tensor(gw)
+        tb.grad = torch.tensor(gb)
+        topt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6, err_msg=f"step {step}")
+        np.testing.assert_allclose(np.asarray(params["b"]), tb.detach().numpy(),
+                                   rtol=2e-5, atol=2e-6)
+
+
+def test_clip_grad_norm():
+    params = {"w": jnp.ones((4, 4))}
+    state = init_optimizer_state(params)
+    big = {"w": jnp.full((4, 4), 100.0)}
+    cfg = AdamWConfig(lr=0.0, clip_grad_norm=1.0, weight_decay=0.0)
+    _, _, stats = optimizer_step(params, big, state, lr=0.0, adam_cfg=cfg)
+    assert float(stats["grad_norm"]) == pytest.approx(400.0, rel=1e-5)
+
+
+def test_overflow_skips_step_and_backs_off():
+    params = {"w": jnp.ones((4, 4))}
+    scaler = GradScalerConfig(initial_scale=2.0**8, hysteresis=1)
+    state = init_optimizer_state(params, scaler)
+    inf_grads = {"w": jnp.full((4, 4), jnp.inf)}
+    cfg = AdamWConfig(lr=1e-2)
+    new_params, new_state, stats = optimizer_step(params, inf_grads, state, lr=1e-2,
+                                                  adam_cfg=cfg, scaler_cfg=scaler)
+    assert bool(stats["found_inf"])
+    np.testing.assert_array_equal(np.asarray(new_params["w"]), np.ones((4, 4)))
+    assert int(new_state["step"]) == 0
+    assert float(new_state["grad_scale"]) == 2.0**7  # backoff 0.5
+    assert int(new_state["num_skipped"]) == 1
+
+    # finite grads afterwards: step proceeds
+    ok = {"w": jnp.ones((4, 4))}
+    p2, s2, st2 = optimizer_step(new_params, ok, new_state, lr=1e-2, adam_cfg=cfg, scaler_cfg=scaler)
+    assert not bool(st2["found_inf"]) and int(s2["step"]) == 1
+
+
+def test_scaler_growth():
+    params = {"w": jnp.ones((2, 2))}
+    scaler = GradScalerConfig(initial_scale=4.0, growth_interval=2, growth_factor=2.0)
+    state = init_optimizer_state(params, scaler)
+    cfg = AdamWConfig(lr=0.0)
+    for i in range(2):
+        _, state, _ = optimizer_step(params, {"w": jnp.ones((2, 2))}, state, lr=0.0,
+                                     adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 8.0  # grew after growth_interval steps
+
+
+def test_beta2_anneal_and_lr_schedule():
+    lrs = CosineAnnealingWarmupLR(lr=1e-3, total_steps=100, warmup_steps=10, eta_min=1e-5)
+    assert lrs.get_lr(0) == pytest.approx(1e-4)
+    assert lrs.get_lr(9) == pytest.approx(1e-3)
+    assert lrs.get_lr(99) == pytest.approx(1e-5, rel=5e-2)
+    b2 = Beta2Scheduler(init_beta2=0.95, c=0.8)
+    assert b2.get_beta2(1) == 0.95  # max(0.95, 0)
+    assert b2.get_beta2(10**6) > 0.95
+    b2_off = Beta2Scheduler(init_beta2=0.95, c=0)
+    assert b2_off.get_beta2(100) == 0.95
+
+
+def test_global_norm():
+    tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
+    assert float(global_norm(tree)) == pytest.approx(5.0)
