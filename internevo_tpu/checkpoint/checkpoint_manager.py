@@ -21,10 +21,8 @@ import pickle
 import shutil
 import time
 from pathlib import Path
-from typing import Any, Optional
+from typing import Optional
 
-import jax
-import numpy as np
 
 from ..core.context import gpc
 from ..utils.logger import get_logger

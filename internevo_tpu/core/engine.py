@@ -9,11 +9,9 @@ scheduler evaluation.
 
 from __future__ import annotations
 
-import time
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..solver.lr_scheduler import Beta2Scheduler, CosineAnnealingWarmupLR
 

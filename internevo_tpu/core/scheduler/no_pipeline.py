@@ -14,13 +14,10 @@ reference's ``AccPerplex``, ``model/metrics.py:55``) are folded into the scan.
 
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-from typing import Any, Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ...models.base import ModelDef
 from ...ops.cross_entropy import cross_entropy_loss

@@ -8,10 +8,8 @@ delegates stepping to the active schedule.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from collections import deque
-from typing import Any, Optional
 
 
 class TrainState:

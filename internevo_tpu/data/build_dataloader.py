@@ -13,9 +13,9 @@ import os
 import queue
 import threading
 from functools import partial
-from typing import Callable, Iterable, Iterator, Optional
+from typing import Callable, Iterator
 
-from ..core.context import ParallelMode, gpc
+from ..core.context import gpc
 from .batch_sampler import DataParallelSampler, StaticBatchSampler
 from .collaters import jsonl_ds_collate_fn, packed_collate_fn
 from .dummy_dataset import RandomDataset

@@ -17,7 +17,6 @@ from __future__ import annotations
 import itertools as it
 import operator
 import os
-from pathlib import Path
 
 import numpy as np
 

@@ -10,10 +10,8 @@ and the mesh is built from ``config.parallel``.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import jax
-import jax.numpy as jnp
 
 from ..core.config import Config
 from ..core.context import gpc

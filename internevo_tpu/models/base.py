@@ -321,6 +321,11 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
         ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                               softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
         ctx = sh.constrain(ctx, "batch", "seq", "act_heads", None)
+    # under full-block remat, keep the attention output so the backward does
+    # not re-run the forward flash kernel (its own bwd already recomputes p)
+    from jax.ad_checkpoint import checkpoint_name
+
+    ctx = checkpoint_name(ctx, "flash_ctx")
     ctx = ctx.reshape(B, S, cfg.num_attention_heads * cfg.head_dim)
     return _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
 
@@ -428,9 +433,12 @@ def model_forward(
         return scan_body
 
     # Full remat for the first n_ckpt layers (reference `checkpoint` fraction,
-    # modeling_internlm.py:183-188); everything-saveable-but-cheap for the rest
-    # (reference dropout_selective_checkpoint re-materializes only dropout+norm).
-    full = make_scan(lambda l, h: block_fn(l, h), None)
+    # modeling_internlm.py:183-188) — except the flash-attention output, which
+    # is cheap to keep and expensive to recompute; everything-saveable-but-cheap
+    # for the rest (reference dropout_selective_checkpoint re-materializes only
+    # dropout+norm).
+    full = make_scan(lambda l, h: block_fn(l, h),
+                     jax.checkpoint_policies.save_only_these_names("flash_ctx"))
     light = make_scan(
         lambda l, h: block_fn(l, h),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,

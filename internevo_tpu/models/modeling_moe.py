@@ -12,7 +12,6 @@ step adds ``moe_loss_coeff * moe`` to the CE loss.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
 from typing import Optional
 

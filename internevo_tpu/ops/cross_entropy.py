@@ -14,7 +14,6 @@ logits row-max/denominator.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

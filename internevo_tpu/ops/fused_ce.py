@@ -14,8 +14,6 @@ downstream of the final norm lives at chunk granularity.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -28,9 +28,7 @@ GQA grad-sync patch, ``Initializer_GQA``).
 
 from __future__ import annotations
 
-import functools
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,6 @@ into the flash backward's delta.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax

@@ -23,7 +23,7 @@ from ..models.base import ModelDef
 from ..parallel.sharding import get_rules
 from ..solver.lr_scheduler import Beta2Scheduler, build_lr_scheduler
 from ..solver.optimizer import AdamWConfig, GradScalerConfig, init_optimizer_state
-from ..utils.common import get_megatron_flops, device_peak_tflops
+from ..utils.common import get_megatron_flops
 from ..utils.logger import get_logger
 from ..utils.registry import MODEL_INITIALIZER
 from ..utils.timers import megatron_timer as timer

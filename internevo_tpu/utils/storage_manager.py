@@ -12,7 +12,6 @@ from __future__ import annotations
 import concurrent.futures
 import os
 import shutil
-from pathlib import Path
 from typing import Optional
 
 from .logger import get_logger
