@@ -159,3 +159,15 @@ def test_topology_equivalence_rsp():
         steps=3,
     )
     np.testing.assert_allclose(losses_dp, losses_rsp, rtol=2e-4, atol=2e-5)
+
+
+# Golden 8-step loss curve for demo_config() at seed 1024 on the 8-device mesh
+# (the reference pins hard-coded per-step losses the same way,
+# tests/test_training/test_loss.py:32-43). Regenerate deliberately if the
+# numerics change on purpose.
+GOLDEN_LOSSES = [6.92842, 6.9183, 6.90708, 6.89012, 6.87695, 6.86553, 6.85577, 6.85183]
+
+
+def test_loss_curve_pinned_to_golden():
+    losses, _ = run_training(demo_config(), steps=8)
+    np.testing.assert_allclose(losses, GOLDEN_LOSSES, rtol=1e-3, atol=5e-4)
