@@ -433,12 +433,12 @@ def model_forward(
         return scan_body
 
     # Full remat for the first n_ckpt layers (reference `checkpoint` fraction,
-    # modeling_internlm.py:183-188) — except the flash-attention output, which
-    # is cheap to keep and expensive to recompute; everything-saveable-but-cheap
-    # for the rest (reference dropout_selective_checkpoint re-materializes only
-    # dropout+norm).
-    full = make_scan(lambda l, h: block_fn(l, h),
-                     jax.checkpoint_policies.save_only_these_names("flash_ctx"))
+    # modeling_internlm.py:183-188); everything-saveable-but-cheap for the rest
+    # (reference dropout_selective_checkpoint re-materializes only dropout+norm).
+    # NB: save_only_these_names("flash_ctx") would avoid re-running the fwd
+    # attention kernel in backward, but it inflates XLA compile time >3x on the
+    # remote-compile path — measured on v5e; revisit when compiles are local.
+    full = make_scan(lambda l, h: block_fn(l, h), None)
     light = make_scan(
         lambda l, h: block_fn(l, h),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,

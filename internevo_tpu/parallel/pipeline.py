@@ -253,6 +253,17 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
         _, out_buf = jax.lax.fori_loop(0, T, tick, init)
 
         def per_micro(y, lab):
+            if tp == 1 and cfg.norm_type == "rmsnorm":
+                # token-chunked fused CE: never materializes (tokens, vocab)
+                # logits (see ops/fused_ce.py) — required headroom at 7B vocab
+                from ..ops.fused_ce import fused_norm_head_ce
+
+                nll_sum, n_valid, n_cor = fused_norm_head_ce(
+                    y, other["norm"], other["head"], lab,
+                    eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
+                    norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+                )
+                return nll_sum / jnp.maximum(n_valid, 1), n_valid, n_cor
             return _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
 
         # the head runs on every stage (its cost is amortized over M micro
