@@ -35,7 +35,7 @@ def make_pipeline_train_step(
     micro_num microbatches flow through the pipeline in one fwd/bwd pass
     (reference behavior: the 1F1B loop consumes every micro batch)."""
     loss_fn = pipeline_loss_fn(model.config, rules.mesh, pp, label_smoothing,
-                               num_chunks=num_chunks)
+                               num_chunks=num_chunks, tp_mode=rules.tp_mode)
 
     def train_step(params, opt_state, batch, lr, beta2):
         scale = opt_state["grad_scale"]

@@ -44,6 +44,30 @@ def _psum_tp(x):
     return jax.lax.psum(x, TP)
 
 
+@jax.custom_vjp
+def _sum_grad_over_tp(x):
+    """Identity forward; backward psums the cotangent over tp.
+
+    In sequence-parallel blocks the replicated params (norms, row-linear
+    biases) receive rank-VARYING cotangents (each rank saw only its sequence
+    shard); shard_map's replicated-input convention takes one rank's value, so
+    the partials must be summed explicitly first — Megatron's
+    --sequence-parallel layernorm/bias grad all-reduce, done as a custom VJP.
+    """
+    return x
+
+
+def _sgot_fwd(x):
+    return x, None
+
+
+def _sgot_bwd(_, g):
+    return (jax.lax.psum(g, TP),)
+
+
+_sum_grad_over_tp.defvjp(_sgot_fwd, _sgot_bwd)
+
+
 def _local_dense(x, kernel, bias=None):
     y = jnp.dot(x, kernel.astype(x.dtype))
     if bias is not None:
@@ -51,16 +75,38 @@ def _local_dense(x, kernel, bias=None):
     return y
 
 
-def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids):
-    """One pre-norm block with explicit TP collectives (mtp semantics:
-    activations replicated over tp inside the block)."""
-    B, S, H = x.shape
+def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids,
+                  seq_parallel: bool = False):
+    """One pre-norm block with explicit TP collectives.
+
+    mtp (seq_parallel=False): activations replicated over tp inside the block;
+    row-parallel matmuls end in psum (reference ``MegatronFusedDenseFunc``).
+
+    msp/fsp (seq_parallel=True): activations between blocks are sequence-
+    sharded over tp — all-gather the sequence before the column matmuls,
+    reduce-scatter after the row matmuls (reference ``model/utils.py:258-345``).
+    Residual/norm run on the local seq shard; the pipeline ring then carries
+    1/tp of the activation bytes.
+    """
+    if seq_parallel:
+        # replicated params see only the local seq shard: sum their cotangents
+        layer = dict(layer)
+        for key in ("norm1", "norm2", "norm1_bias", "norm2_bias"):
+            if key in layer:
+                layer[key] = _sum_grad_over_tp(layer[key])
+        for key in ("out_proj", "w2"):
+            if "bias" in layer[key]:
+                layer[key] = dict(layer[key])
+                layer[key]["bias"] = _sum_grad_over_tp(layer[key]["bias"])
     residual = x
     if cfg.residual_in_fp32:
         residual = residual.astype(jnp.float32)
     h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
+    if seq_parallel:
+        h = jax.lax.all_gather(h, TP, axis=1, tiled=True)  # (b, S, H)
+    B, S, H = h.shape
 
-    # column-parallel fused wqkv: local kv-groups
+    # column-parallel fused wqkv: local kv-groups over the FULL sequence
     qkv = _local_dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
     local_cfg = _local_head_cfg(cfg, tp)
     q, k, v = split_qkv(local_cfg, qkv)
@@ -70,16 +116,27 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                           softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
     ctx = ctx.reshape(B, S, -1)
-    # row-parallel out_proj: partial matmul + psum, bias added once after
-    attn_out = _psum_tp(jnp.dot(ctx, layer["out_proj"]["kernel"].astype(ctx.dtype)))
+    # row-parallel out_proj: partial matmul + psum (mtp) or reduce-scatter over
+    # the sequence (msp); bias added once after the reduction
+    attn_part = jnp.dot(ctx, layer["out_proj"]["kernel"].astype(ctx.dtype))
+    if seq_parallel:
+        attn_out = jax.lax.psum_scatter(attn_part, TP, scatter_dimension=1, tiled=True)
+    else:
+        attn_out = _psum_tp(attn_part)
     if "bias" in layer["out_proj"]:
         attn_out = attn_out + layer["out_proj"]["bias"].astype(attn_out.dtype)
 
     residual = (attn_out + residual).astype(residual.dtype)
     h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
+    if seq_parallel:
+        h = jax.lax.all_gather(h, TP, axis=1, tiled=True)
     w1o = _local_dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
     w3o = _local_dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
-    mlp_out = _psum_tp(jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype)))
+    mlp_part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
+    if seq_parallel:
+        mlp_out = jax.lax.psum_scatter(mlp_part, TP, scatter_dimension=1, tiled=True)
+    else:
+        mlp_out = _psum_tp(mlp_part)
     if "bias" in layer.get("w2", {}):
         mlp_out = mlp_out + layer["w2"]["bias"].astype(mlp_out.dtype)
     return (mlp_out + residual).astype(cfg.dtype)
@@ -103,11 +160,12 @@ class _LocalCfg:
         return getattr(self._cfg, name)
 
 
-def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, segment_ids):
+def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, segment_ids,
+                        seq_parallel: bool = False):
     n_ckpt_total = int(cfg.num_layers * cfg.checkpoint)
     policy = None if n_ckpt_total > 0 else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
     body = jax.checkpoint(
-        lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids),
+        lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids, seq_parallel),
         policy=policy, prevent_cse=False,
     )
 
@@ -180,7 +238,7 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
 
 
 def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
-                     num_chunks: int = 1):
+                     num_chunks: int = 1, tp_mode: str = "mtp"):
     """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``.
 
     ``num_chunks > 1`` enables the interleaved (circular/virtual-chunk)
@@ -195,21 +253,32 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
     C = num_chunks
     assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
     assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
+    seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
                  input_ids, positions, segment_ids, labels):
         pp_idx = jax.lax.axis_index(PP)
+        tp_idx = jax.lax.axis_index(TP)
         M, b, S = input_ids.shape
         H = cfg.hidden_size
+        # msp: the ring carries sequence-sharded activations (1/tp the bytes)
+        S_loc = S // tp if seq_parallel else S
         other = {"norm": norm, "head": head}
         if norm_bias is not None:
             other["norm_bias"] = norm_bias
 
         def embed_all():
-            return jax.vmap(lambda ids: _manual_embed(cfg, tp, embedding, ids))(input_ids)
+            # full-seq lookup of the local hidden shard, hidden all-gather,
+            # THEN seq split (reference Embedding1D order, embedding.py:52-60 —
+            # slicing ids first would pair one rank's tokens with other ranks'
+            # hidden shards in the gather)
+            out = jax.vmap(lambda i: _manual_embed(cfg, tp, embedding, i))(input_ids)
+            if seq_parallel:
+                out = jax.lax.dynamic_slice_in_dim(out, tp_idx * S_loc, S_loc, axis=2)
+            return out
 
         emb = jax.lax.cond(pp_idx == 0, embed_all,
-                           lambda: jnp.zeros((M, b, S, H), cfg.dtype))
+                           lambda: jnp.zeros((M, b, S_loc, H), cfg.dtype))
 
         # blocks arrive as the local slice of the (C*pp, L/(C*pp), ...) layout
         # = (C, L/(C*pp), ...) per stage; chunk c's group is blocks[:, c].
@@ -218,10 +287,10 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
 
         def run_chunk(chunk_idx, x, pos, seg):
             if C == 1:
-                return _stage_blocks_apply(cfg, tp, blocks, x, pos, seg)
+                return _stage_blocks_apply(cfg, tp, blocks, x, pos, seg, seq_parallel)
             local = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, chunk_idx, 0, keepdims=False),
                                  blocks_c)
-            return _stage_blocks_apply(cfg, tp, local, x, pos, seg)
+            return _stage_blocks_apply(cfg, tp, local, x, pos, seg, seq_parallel)
 
         T = M * C + pp - 1
 
@@ -249,10 +318,14 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
             ) if C > 1 else jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0)
             return (y, out_buf)
 
-        init = (jnp.zeros((b, S, H), cfg.dtype), jnp.zeros((M, b, S, H), cfg.dtype))
+        init = (jnp.zeros((b, S_loc, H), cfg.dtype), jnp.zeros((M, b, S_loc, H), cfg.dtype))
         _, out_buf = jax.lax.fori_loop(0, T, tick, init)
 
         def per_micro(y, lab):
+            if seq_parallel:
+                # the vocab-split head consumes the full sequence (reference
+                # ScaleColumnParallelLinear gather_dim=1)
+                y = jax.lax.all_gather(y, TP, axis=1, tiled=True)
             if tp == 1 and cfg.norm_type == "rmsnorm":
                 # token-chunked fused CE: never materializes (tokens, vocab)
                 # logits (see ops/fused_ce.py) — required headroom at 7B vocab

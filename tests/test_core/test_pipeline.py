@@ -88,3 +88,16 @@ def test_interleaved_pp2_chunks2_tp2():
         steps=2,
     )
     np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
+
+
+def test_pp2_msp2_sequence_parallel():
+    """msp inside the pipeline: sequence-sharded ring, gather/scatter at the
+    matmuls — must still match the dp baseline."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4)), steps=2, n_devices=2)
+    losses_msp, _ = _run(
+        _cfg(data=dict(micro_num=4),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="msp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_msp, rtol=3e-4, atol=3e-5)
