@@ -94,6 +94,7 @@ class ModelConfig:
     moe_drop_tokens: bool = True
     moe_use_rts: bool = True
     moe_layer_freq: int = 1
+    moe_type: str = "GShard"  # GShard (capacity) | Dropless (ragged grouped matmul)
 
     def __post_init__(self):
         # config files may say checkpoint=True/False (ref 7B_sft.py comment)

@@ -104,6 +104,12 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
     x = embed_tokens(cfg, params, input_ids)
 
     def moe_ffn(layer, h):
+        if cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock"):
+            from .moe.dropless import dropless_moe_apply
+
+            out, l_aux, _counts = dropless_moe_apply(
+                layer["moe"], h, top_k=cfg.top_k, rng=dropout_rng, train=train)
+            return _residual_branch(layer, h, out), l_aux
         out, l_aux, _counts = moe_layer_apply(
             layer["moe"], h,
             top_k=cfg.top_k,
@@ -115,13 +121,16 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
             rng=dropout_rng,
             train=train,
         )
+        return _residual_branch(layer, h, out), l_aux
+
+    def _residual_branch(layer, h, out):
         if cfg.num_shared_experts > 0:
             dense = _dense(h, layer["w1"]["kernel"])
             w3o = _dense(h, layer["w3"]["kernel"])
             dense_out = _dense(jax.nn.silu(dense) * w3o, layer["w2"]["kernel"])
             coef = jax.nn.softmax(_dense(h, layer["moe"]["coefficient"]).astype(jnp.float32), axis=-1)
             out = out * coef[..., 0:1].astype(out.dtype) + dense_out * coef[..., 1:].astype(out.dtype)
-        return out, l_aux
+        return out
 
     def scan_body(carry, layer):
         h, moe_loss = carry
@@ -145,7 +154,7 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
 def build_model_with_cfg(**kwargs) -> ModelDef:
     for k in ("num_chunks", "embed_split_hidden", "apply_post_layer_norm",
               "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
-              "moe_use_residual", "moe_type", "moe_gate_k"):
+              "moe_use_residual", "moe_gate_k"):
         kwargs.pop(k, None)
     fields = {k: v for k, v in kwargs.items() if k in ModelConfig.__dataclass_fields__}
     cfg = ModelConfig(qkv_bias=True, o_bias=True, mlp_bias=False, **fields)

@@ -132,3 +132,93 @@ def test_moe_model_trains_e2e():
         moes.append(float(metrics["moe_loss"]))
     assert all(np.isfinite(losses))
     assert all(m > 0 for m in moes), moes
+
+
+def test_dropless_matches_dense_mixture():
+    """Dropless top-1 with no dropping == exact gate-weighted expert outputs."""
+    from internevo_tpu.models.moe.dropless import dropless_moe_apply
+
+    B, S, H, M, E = 1, 16, 8, 16, 2
+    key = jax.random.PRNGKey(0)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)),
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.1,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.1,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.1,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    out, l_aux, counts = dropless_moe_apply(layer, x, top_k=1, train=False)
+    assert int(jnp.sum(counts)) == S  # dropless: every token routed
+    tokens = x.reshape(-1, H)
+    gates = jax.nn.softmax(tokens @ layer["gate"], axis=1)
+    choice = np.argmax(np.asarray(gates), axis=1)
+    expect = np.zeros((S, H), np.float32)
+    for s in range(S):
+        e = choice[s]
+        h1 = tokens[s] @ layer["experts"]["w1"][e]
+        h3 = tokens[s] @ layer["experts"]["w3"][e]
+        expect[s] = (jax.nn.silu(h1) * h3) @ layer["experts"]["w2"][e]  # top-1 weight renormalizes to 1
+    np.testing.assert_allclose(np.asarray(out.reshape(-1, H)), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_dropless_top2_weights_sum_to_one():
+    from internevo_tpu.models.moe.dropless import dropless_moe_apply
+
+    B, S, H, M, E = 2, 32, 16, 32, 4
+    key = jax.random.PRNGKey(1)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)) * 0.1,
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.05,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.05,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.05,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    out, l_aux, counts = dropless_moe_apply(layer, x, top_k=2)
+    assert int(jnp.sum(counts)) == B * S * 2
+    assert jnp.all(jnp.isfinite(out)) and float(l_aux) > 0
+    # grads flow
+    g = jax.grad(lambda l: jnp.sum(dropless_moe_apply(l, x, top_k=2)[0] ** 2))(layer)
+    assert float(jnp.max(jnp.abs(g["gate"]))) > 0
+
+
+def test_dropless_model_e2e():
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.data.build_dataloader import build_train_loader_with_data_type
+    from internevo_tpu.train.pipeline import (
+        batch_to_device, initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    config = dict(
+        model_type="INTERNLM_MoE",
+        data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=3,
+                  rampup_batch_size="", train_folder=None, num_random_samples=1000,
+                  fixed_random_dataset_seqlen=True),
+        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
+                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                   num_experts=4, top_k=2, moe_type="Dropless"),
+        loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                  adam_eps=1e-8, weight_decay=0.01),
+        lr_scheduler=dict(total_steps=3, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
+        parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+                      pipeline=dict(size=1), weight=dict(size=1)),
+    )
+    launch(config, seed=1024)
+    model, params = initialize_model()
+    opt_state, lrs, b2 = initialize_optimizer(model, params)
+    trainer = initialize_trainer(model, params, opt_state, lrs, b2)
+    train_dl, _ = build_train_loader_with_data_type()
+    it = iter(train_dl)
+    for _ in range(2):
+        batch = next(it)
+        rows = batch[0]["input_ids"].shape[0]
+        metrics = trainer.execute_schedule(batch_to_device(batch, micro_num=rows // gpc.sizes.dp_total))
+        assert np.isfinite(float(metrics["loss"]))
+        assert float(metrics["moe_loss"]) > 0
