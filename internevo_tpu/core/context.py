@@ -215,6 +215,33 @@ class ParallelContext:
     def axis_size(self, axis: str) -> int:
         return self.mesh.shape[axis] if self.mesh is not None else 1
 
+    def get_local_rank(self, mode: ParallelMode) -> int:
+        """Single-controller SPMD: the host-side rank for any group is 0 (ranks
+        only exist inside traced code via ``jax.lax.axis_index``); kept for the
+        reference's host-side call sites, where 0 is the logging/lead rank."""
+        return 0
+
+    def get_global_rank(self) -> int:
+        return jax.process_index()
+
+    def is_initialized(self, mode: ParallelMode) -> bool:
+        return self.mesh is not None and self.get_world_size(mode) >= 1
+
+    def is_using_parallel_mode(self, mode: ParallelMode) -> bool:
+        return self.get_world_size(mode) > 1
+
+    def is_first_rank(self, mode: ParallelMode) -> bool:
+        return self.get_local_rank(mode) == 0
+
+    def is_last_rank(self, mode: ParallelMode) -> bool:
+        return self.get_local_rank(mode) == self.get_world_size(mode) - 1
+
+    def is_pipeline_first_stage(self) -> bool:
+        return True  # host-side view; stage identity lives in traced code
+
+    def is_pipeline_last_stage(self) -> bool:
+        return True
+
     def process_index(self) -> int:
         return jax.process_index()
 
@@ -245,10 +272,6 @@ class ParallelContext:
         return jax.random.fold_in(key, _stable_hash(name))
 
     # ----------------------------------------------------------------- helpers
-
-    @property
-    def is_pipeline_last_stage(self) -> bool:
-        return True  # single-controller SPMD: every process sees full program
 
     def sub_mesh_axes(self, mode: ParallelMode) -> tuple[str, ...]:
         return self._axes(mode)
