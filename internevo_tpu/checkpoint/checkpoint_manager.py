@@ -231,5 +231,7 @@ class CheckpointManager:
         ckpt_type = load_info.get("ckpt_type", "internevo")
         load_fn = LOAD_FUNC_DICT[ckpt_type]
         load_fn(self.engine, train_state, load_info["path"], content)
+        if hasattr(self.engine, "reset_step_count"):
+            self.engine.reset_step_count()
         if gpc.is_rank_for_log():
             logger.info("resumed from %s (type=%s, content=%s)", load_info["path"], ckpt_type, content)

@@ -38,6 +38,10 @@ class Engine:
         self.scheduler_hooks = scheduler_hooks or []
         self._training = True
         self.current_lr = 0.0
+        # host-side mirror of opt_state["step"]: reading the device value every
+        # step would block async dispatch; incremented optimistically and
+        # corrected via note_overflow() when a step was skipped
+        self._host_step: Optional[int] = None
 
     def train(self):
         self._training = True
@@ -47,11 +51,23 @@ class Engine:
 
     @property
     def step_count(self) -> int:
-        return int(self.opt_state["step"])
+        if self._host_step is None:
+            self._host_step = int(self.opt_state["step"])
+        return self._host_step
+
+    def note_overflow(self) -> None:
+        """The dispatched step turned out to be skipped (non-finite grads)."""
+        if self._host_step is not None and self._host_step > 0:
+            self._host_step -= 1
+
+    def reset_step_count(self) -> None:
+        """Force re-read from device state (after checkpoint load etc.)."""
+        self._host_step = None
 
     def run_step(self, batch: dict) -> dict:
         """One global step: evaluate schedules on host, run the compiled step."""
         step = self.step_count
+        self._host_step = step + 1  # optimistic; corrected by note_overflow
         lr = self.lr_scheduler.get_lr(step)
         beta2 = self.beta2_scheduler.get_beta2(step + 1) if self.beta2_scheduler else None
         self.current_lr = lr

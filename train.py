@@ -115,43 +115,38 @@ def main(args):
         alert_address=gpc.config.monitor.alert.get("feishu_alert_address", None),
     ):
         last_step_time = None
-        for batch_count in range(train_state.batch_count, total_steps):
-            if profiling and batch_count == profile_schedule[0]:
-                jax.profiler.start_trace(profile_dir)
-            if profiling and batch_count == profile_schedule[1]:
-                jax.effects_barrier()
-                jax.profiler.stop_trace()
-                logger.info("profiler trace written to %s", profile_dir)
-            empty_cache_and_diag(batch_count, interval=diag_interval, step_time=last_step_time)
-            start_time = time.time()
-            timer("one-batch").start()
+        # Metric reads block on the device; handling them is DEFERRED by one
+        # iteration so the next batch's host prep + dispatch overlaps the
+        # running step (the async-dispatch analogue of the reference's comm/
+        # compute overlap).  pending = (batch_count, device_batch, metrics,
+        # start_time).
+        pending = None
 
-            batch, train_iter = load_new_batch(train_dl, train_iter, train_state)
-            train_state.batch_count = batch_count
-            train_state.num_consumed_tokens += int(np.asarray(batch[0]["input_ids"]).size)
-            if batch_skipper(batch_count):
-                logger.info("skip batch %d", batch_count)
-                continue
+        last_handle_time = [time.time()]
 
-            device_batch = batch_to_device(batch, micro_num=_infer_micro_num(batch, micro_num))
-
-            timer("fwd-bwd").start()
-            metrics = trainer.execute_schedule(device_batch)
-            timer("fwd-bwd").stop()
-
-            loss = float(metrics["loss"])
-            grad_norm = float(metrics["grad_norm"])
-            success_update = not bool(metrics["found_inf"])
+        def handle_pending():
+            nonlocal last_step_time, pending
+            if pending is None:
+                return False
+            p_count, p_batch, p_metrics, p_start, p_counters = pending
+            pending = None
+            loss = float(p_metrics["loss"])
+            grad_norm = float(p_metrics["grad_norm"])
+            success_update = not bool(p_metrics["found_inf"])
             if success_update:
                 train_state.step_count += 1
             else:
                 train_state.inf_nan_skip_batches += 1
+                engine.note_overflow()
                 if gpc.is_rank_for_log():
-                    logger.warning("overflow detected at step %d, skipping update", batch_count)
-                    send_alert_message(message=f"inf/nan grad at step {batch_count}, skipped")
-
-            timer("one-batch").stop()
-            last_step_time = time.time() - start_time
+                    logger.warning("overflow detected at step %d, skipping update", p_count)
+                    send_alert_message(message=f"inf/nan grad at step {p_count}, skipped")
+            # overlapped windows would double-count: charge this step only the
+            # wall time since the previous step was settled
+            now = time.time()
+            last_step_time = now - max(p_start, last_handle_time[0])
+            last_handle_time[0] = now
+            p_start = now - last_step_time
             if memory_profiler is not None:
                 memory_profiler.step()
             record_current_batch_training_metrics(
@@ -159,21 +154,67 @@ def main(args):
                 logger_obj=logger,
                 writer=writer,
                 success_update=success_update,
-                batch_count=batch_count,
-                batch=device_batch,
+                batch_count=p_count,
+                batch=p_batch,
                 train_state=train_state,
                 engine=engine,
-                start_time=start_time,
+                start_time=p_start,
                 loss=loss,
                 grad_norm=grad_norm,
-                metrics=metrics,
+                metrics=p_metrics,
             )
-
             if valid_every > 0 and train_state.step_count % valid_every == 0:
-                evaluate_on_val_dls(trainer, build_valid_loader_with_data_type()[0], writer, train_state.step_count)
+                evaluate_on_val_dls(trainer, build_valid_loader_with_data_type()[0],
+                                    writer, train_state.step_count)
+            # the save must describe the state as of batch p_count, but the NEXT
+            # batch was already loaded (its consumption counted); swap in the
+            # dispatch-time counter snapshot around the save decision
+            live = {k: getattr(train_state, k) for k in p_counters}
+            for k, v in p_counters.items():
+                setattr(train_state, k, v)
+            should_stop = ckpt_manager.try_save_checkpoint(train_state)
+            for k, v in live.items():
+                setattr(train_state, k, v)
+            return should_stop
 
-            if ckpt_manager.try_save_checkpoint(train_state):
+        for batch_count in range(train_state.batch_count, total_steps):
+            if profiling and batch_count == profile_schedule[0]:
+                jax.profiler.start_trace(profile_dir)
+            if profiling and batch_count == profile_schedule[1]:
+                jax.effects_barrier()
+                jax.profiler.stop_trace()
+                logger.info("profiler trace written to %s", profile_dir)
+            start_time = time.time()
+            timer("one-batch").start()
+
+            # host-side batch prep overlaps the in-flight device step
+            batch, train_iter = load_new_batch(train_dl, train_iter, train_state)
+            train_state.batch_count = batch_count
+            train_state.num_consumed_tokens += int(np.asarray(batch[0]["input_ids"]).size)
+            if batch_skipper(batch_count):
+                logger.info("skip batch %d", batch_count)
+                continue
+            device_batch = batch_to_device(batch, micro_num=_infer_micro_num(batch, micro_num))
+
+            # settle the previous step (counters, metrics, ckpt/eval decisions)
+            if handle_pending():
                 break
+            empty_cache_and_diag(batch_count, interval=diag_interval, step_time=last_step_time)
+
+            timer("fwd-bwd").start()
+            metrics = trainer.execute_schedule(device_batch)  # async dispatch
+            timer("fwd-bwd").stop()
+            timer("one-batch").stop()
+            counters = dict(
+                batch_count=train_state.batch_count,
+                num_consumed_tokens=train_state.num_consumed_tokens,
+                sampler_consumed_batches=train_state.sampler_consumed_batches,
+                sampler_consumed_samples=train_state.sampler_consumed_samples,
+                num_consumed_samples_in_epoch=train_state.num_consumed_samples_in_epoch,
+            )
+            pending = (batch_count, device_batch, metrics, start_time, counters)
+
+        handle_pending()
 
     ckpt_manager.wait_async_upload_finish()
 
