@@ -104,6 +104,7 @@ class CheckpointManager:
         self.save_ckpt_folder = ckpt_config.get("save_ckpt_folder", None)
         self.oss_snapshot_freq = ckpt_config.get("oss_snapshot_freq", 0) or 0
         self.stop_file_path = ckpt_config.get("stop_file_path", None)
+        self.async_save = bool(ckpt_config.get("async_upload", True))
         self.load_ckpt_info = ckpt_config.get("load_ckpt_info", None)
         self.auto_resume = ckpt_config.get("auto_resume", True)
         self.engine = engine
@@ -126,7 +127,36 @@ class CheckpointManager:
             return os.path.join(base, str(step))
         return os.path.join(base, "snapshot", str(snapshot_slot))
 
-    def save_checkpoint(self, path: str, train_state=None):
+    def _checkpointers(self):
+        import orbax.checkpoint as ocp
+
+        if getattr(self, "_ckptrs", None) is None:
+            # async array writes (the reference's /dev/shm-staged async upload,
+            # storage_manager.py:1002-1021): save() returns once the arrays are
+            # snapshotted; serialization proceeds in background threads and the
+            # NEXT save (or shutdown) barriers on completion, at which point
+            # the `.step` stamp is written — auto-resume only ever sees
+            # completed checkpoints, like the reference's post-upload stamp
+            self._ckptrs = (
+                ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()),
+                ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler()),
+            )
+            self._pending_stamp = None
+        return self._ckptrs
+
+    def _finalize_pending_save(self):
+        if getattr(self, "_pending_stamp", None) is None:
+            return
+        for c in self._ckptrs:
+            c.wait_until_finished()
+        path, step, t0 = self._pending_stamp
+        self._pending_stamp = None
+        with open(os.path.join(path, f"{step}.step"), "w") as f:
+            f.write(str(step))
+        if gpc.is_rank_for_log():
+            logger.info("checkpoint %s finalized (%.2fs since snapshot)", path, time.time() - t0)
+
+    def save_checkpoint(self, path: str, train_state=None, block: bool = True):
         import orbax.checkpoint as ocp
 
         t0 = time.time()
@@ -135,10 +165,12 @@ class CheckpointManager:
         if path_p.exists():
             shutil.rmtree(path)
         path_p.mkdir(parents=True, exist_ok=True)
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(path_p.resolve() / "arrays_model", {"params": self.engine.params})
-        ckptr.save(path_p.resolve() / "arrays_opt", {"opt_state": self.engine.opt_state})
-        ckptr.wait_until_finished()
+        ck_model, ck_opt = self._checkpointers()
+        self._finalize_pending_save()  # barrier on any previous async save
+        ck_model.save(path_p.resolve() / "arrays_model",
+                      args=ocp.args.StandardSave({"params": self.engine.params}))
+        ck_opt.save(path_p.resolve() / "arrays_opt",
+                    args=ocp.args.StandardSave({"opt_state": self.engine.opt_state}))
         meta = {
             "train_state": (train_state or self.train_state).state_dict(),
             "lr_scheduler": self.engine.lr_scheduler.state_dict(),
@@ -147,11 +179,14 @@ class CheckpointManager:
         with open(path_p / "context.pkl", "wb") as f:
             pickle.dump(meta, f)
         step = (train_state or self.train_state).step_count
-        # ".step" stamp marks completeness; auto-resume keys off it (ref :568-637)
-        with open(os.path.join(path, f"{step}.step"), "w") as f:
-            f.write(str(step))
+        # the ".step" stamp (completeness marker, ref :568-637) is written by
+        # _finalize_pending_save once the async array writes land
+        self._pending_stamp = (path, step, t0)
+        if block:
+            self._finalize_pending_save()
         if gpc.is_rank_for_log():
-            logger.info("saved checkpoint to %s in %.2fs", path, time.time() - t0)
+            logger.info("saved checkpoint to %s in %.2fs%s", path, time.time() - t0,
+                        "" if block else " (arrays finishing async)")
 
     def try_save_checkpoint(self, train_state) -> bool:
         """Returns True if training should stop (stop-file save-and-quit)."""
@@ -164,7 +199,9 @@ class CheckpointManager:
                 path = self._save_path(train_state.step_count, snapshot_slot=slot)
             else:
                 path = self._save_path(train_state.step_count)
-            self.save_checkpoint(path, train_state)
+            # the train loop tolerates async finalization; the next save (or
+            # shutdown) barriers first
+            self.save_checkpoint(path, train_state, block=not self.async_save)
         return now_break
 
     def _decide(self, train_state):
@@ -199,6 +236,8 @@ class CheckpointManager:
         return False, False
 
     def wait_async_upload_finish(self):
+        self._checkpointers()
+        self._finalize_pending_save()
         get_storage_manager().wait()
 
     # ----------------------------------------------------------------- loading
