@@ -164,15 +164,28 @@ def _flash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k, inte
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q, block_k=block_k,
         use_segments=use_segments,
     )
+
+    def kv_block_idx(iq, ik):
+        """Above-diagonal kv blocks are skipped by the kernel; clamp their block
+        index so the pipeline re-fetches nothing (the bundled jax kernel's
+        next_kv_index trick).  Measured gain is small (~3% at S=4096) — skipped
+        grid steps still pay fixed per-iteration latency; eliminating them
+        entirely needs a splash-style flattened grid with scalar-prefetched
+        per-row block counts (round-2 item)."""
+        if not causal:
+            return ik
+        last_useful = ((iq + 1) * block_q - 1) // block_k
+        return jnp.minimum(ik, last_useful)
+
     out, lse = pl.pallas_call(
         kernel,
         grid=(B, Hq, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, LANES), lambda b, h, iq, ik: (b, iq, 0)),
-            pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, iq, ik: (b, 0, kv_block_idx(iq, ik))),
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, kv_block_idx(iq, ik), 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, kv_block_idx(iq, ik), 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -320,12 +333,24 @@ def _flash_backward(res, g, *, scale, causal, block_q, block_k, interpret, dlse=
     def qspec(idx_map):
         return pl.BlockSpec((1, 1, block_q, D), idx_map)
 
+    def kv_block_idx(iq, ik):
+        # see _flash_forward: don't DMA kv blocks the kernel will skip
+        if not causal:
+            return ik
+        return jnp.minimum(ik, ((iq + 1) * block_q - 1) // block_k)
+
+    def q_block_idx(ik, iq):
+        # dkv: q blocks fully above the diagonal are skipped; clamp the fetch
+        if not causal:
+            return iq
+        return jnp.maximum(iq, (ik * block_k) // block_q)
+
     dq_in_specs = [
         pl.BlockSpec((1, block_q, LANES), lambda b, h, iq, ik: (b, iq, 0)),
-        pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+        pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, iq, ik: (b, 0, kv_block_idx(iq, ik))),
         qspec(lambda b, h, iq, ik: (b, h, iq, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, ik, 0)),
-        pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, ik, 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, kv_block_idx(iq, ik), 0)),
+        pl.BlockSpec((1, 1, block_k, D), lambda b, h, iq, ik: (b, h // q_per_kv, kv_block_idx(iq, ik), 0)),
         qspec(lambda b, h, iq, ik: (b, h, iq, 0)),
         pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ik: (b, h, iq, 0)),
         pl.BlockSpec((1, 1, block_q, LANES), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -342,14 +367,14 @@ def _flash_backward(res, g, *, scale, causal, block_q, block_k, interpret, dlse=
     )(q_seg_b, kv_seg_b, q, k, v, do, lse, delta)[0]
 
     dkv_in_specs = [
-        pl.BlockSpec((1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, iq, 0)),
+        pl.BlockSpec((1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, q_block_idx(ik, iq), 0)),
         pl.BlockSpec((1, SUBLANES, block_k), lambda b, hk, ik, gg, iq: (b, 0, ik)),
-        pl.BlockSpec((1, 1, block_q, D), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, iq, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, q_block_idx(ik, iq), 0)),
         pl.BlockSpec((1, 1, block_k, D), lambda b, hk, ik, gg, iq: (b, hk, ik, 0)),
         pl.BlockSpec((1, 1, block_k, D), lambda b, hk, ik, gg, iq: (b, hk, ik, 0)),
-        pl.BlockSpec((1, 1, block_q, D), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, iq, 0)),
-        pl.BlockSpec((1, 1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, iq, 0)),
-        pl.BlockSpec((1, 1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, iq, 0)),
+        pl.BlockSpec((1, 1, block_q, D), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, q_block_idx(ik, iq), 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, q_block_idx(ik, iq), 0)),
+        pl.BlockSpec((1, 1, block_q, LANES), lambda b, hk, ik, gg, iq: (b, hk * q_per_kv + gg, q_block_idx(ik, iq), 0)),
     ]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=scale, causal=causal,
