@@ -218,8 +218,9 @@ class CheckpointManager:
         return save, save_type, now_break
 
     def _query_stop_file(self, step: int):
-        """Stop-file protocol (ref :331-403): file contains +N (save at step N)
-        or -N (save at N then quit)."""
+        """Stop-file protocol (ref quit_signal_handler :331-403): file contains
+        -N (save at step N) or +N (save at step N AND quit); fires only when
+        step == abs(N), never repeatedly."""
         if not self.stop_file_path or not os.path.exists(self.stop_file_path):
             return False, False
         try:
@@ -230,8 +231,8 @@ class CheckpointManager:
             val = int(content)
         except (ValueError, OSError):
             return False, False
-        target, quit_after = abs(val), val < 0
-        if target != 0 and step >= target:
+        target, quit_after = abs(val), val > 0
+        if target != 0 and step == target:
             return True, quit_after
         return False, False
 

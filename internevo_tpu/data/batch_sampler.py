@@ -15,7 +15,21 @@ import numpy as np
 
 class StaticBatchSampler:
     """Yields lists of dataset indices; one yield = one global step's micro-batches
-    for this dp rank (batch_size = micro_num packs)."""
+    for this dp rank (batch_size = micro_num packs).
+
+    Behavioral contract (pinned by ``tests/test_data`` golden streams and the
+    reference-parity suite; the reference implementation is
+    ``batch_sampler.py:110-287``):
+
+    - the shuffle order is drawn from a ``np.random.RandomState(seed + epoch)``
+      stream whose pre-shuffle state is captured so resume can re-derive the
+      identical permutation instead of persisting the whole index array;
+    - rampup "start incr every": the per-step batch size climbs from ``start``
+      by ``incr`` every ``every`` steps until it reaches ``batch_size``;
+    - the epoch's index pool is truncated so every post-rampup step is exactly
+      full-batch across all dp ranks (no partial trailing batches);
+    - dp rank r consumes the strided view ``pool[r::world]``.
+    """
 
     def __init__(
         self,
@@ -28,80 +42,94 @@ class StaticBatchSampler:
         data_rank: int = 0,
         data_world_size: int = 1,
     ):
-        assert drop_last is True, "Currently only support drop last"
+        if not drop_last:
+            raise NotImplementedError("partial trailing batches are not supported (drop_last=False)")
         if rampup_batch_size:
-            start_bsz, bsz_incre, incre_every = map(int, rampup_batch_size.split())
+            ramp = tuple(int(tok) for tok in rampup_batch_size.split())
         else:
-            start_bsz, bsz_incre, incre_every = batch_size, batch_size, 1
+            ramp = (batch_size, batch_size, 1)
         self.raw_rampup_batch_size = rampup_batch_size
-        self.start_bsz = start_bsz
-        self.bsz_incre = bsz_incre
-        self.incre_every = incre_every
-        assert (batch_size - self.start_bsz) % self.bsz_incre == 0
+        self.start_bsz, self.bsz_incre, self.incre_every = ramp
+        if (batch_size - self.start_bsz) % self.bsz_incre != 0:
+            raise ValueError(f"rampup {ramp} cannot reach batch_size={batch_size} exactly")
         self.batch_size = batch_size
-        self.epoch = 0
-        self.seed = seed
-        self.rng = np.random.RandomState(seed)
-        self.batch_count = 0
         self.micro_bsz = micro_bsz
+        self.seed = seed
+        self.epoch = 0
+        self.rng = np.random.RandomState(seed)
+        self.batch_count = 0  # global steps produced so far (drives rampup stage)
         self.data_rank = data_rank
         self.data_world_size = data_world_size
-        self.num_consumed_samples_in_epoch = 0
         self.datasets = datasets
         self.num_samples = sum(len(ds) for ds in datasets)
-        self.get_indices()
-
-    def get_indices(self, old_indices=None):
-        if old_indices is not None:
-            assert len(old_indices) <= self.num_samples
-        else:
-            old_indices = np.array([])
-        indices = np.arange(len(old_indices), self.num_samples)
-        self.rng_state = self.rng.get_state()
-        self.rng.shuffle(indices)
-        # truncate so post-rampup steps are full-batch divisible (ref :176-212)
-        ramp_steps = (self.batch_size - self.start_bsz) // self.bsz_incre
-        if self.batch_count < ramp_steps * self.incre_every:
-            rampup_samples = sum(
-                (i * self.bsz_incre + self.start_bsz) * self.incre_every for i in range(ramp_steps)
-            )
-            assert rampup_samples * self.data_world_size <= self.num_samples, "Too much rampup samples"
-            num_samples = (self.num_samples - rampup_samples * self.data_world_size) // (
-                self.batch_size * self.data_world_size
-            )
-            num_samples = num_samples * self.batch_size * self.data_world_size + rampup_samples * self.data_world_size
-        else:
-            num_samples = self.num_samples // (self.batch_size * self.data_world_size)
-            num_samples = num_samples * self.batch_size * self.data_world_size
-        indices = np.concatenate([old_indices, indices]).astype(int)
-        self.indices = indices[:num_samples]
-        assert len(self.indices) >= self.batch_size
         self.num_consumed_samples_in_epoch = 0
+        self._reshuffle()
+
+    # ------------------------------------------------------------- internals
+
+    def _ramp_stages(self) -> int:
+        return (self.batch_size - self.start_bsz) // self.bsz_incre
+
+    def _rampup_sample_budget(self) -> int:
+        """Samples one dp rank consumes while the batch size is still climbing
+        (vectorized arithmetic series over the rampup stages)."""
+        stage_sizes = self.start_bsz + self.bsz_incre * np.arange(self._ramp_stages())
+        return int(stage_sizes.sum()) * self.incre_every
+
+    def _step_batch_size(self, step: int) -> int:
+        return min(self.start_bsz + (step // self.incre_every) * self.bsz_incre, self.batch_size)
+
+    def _pool_size(self) -> int:
+        """Epoch pool size: whatever rampup needs plus a whole number of
+        full-size global batches out of the remaining samples."""
+        world = self.data_world_size
+        if self.batch_count < self._ramp_stages() * self.incre_every:
+            ramp_total = self._rampup_sample_budget() * world
+            if ramp_total > self.num_samples:
+                raise ValueError(
+                    f"dataset ({self.num_samples} packs) too small for the requested "
+                    f"rampup ({ramp_total} packs across {world} dp ranks)")
+            full_batches = (self.num_samples - ramp_total) // (self.batch_size * world)
+            return full_batches * self.batch_size * world + ramp_total
+        return (self.num_samples // (self.batch_size * world)) * self.batch_size * world
+
+    def _reshuffle(self, prefix: np.ndarray | None = None):
+        """Draw the next permutation from the rng stream.  The rng state is
+        captured *before* shuffling: ``load_state_dict`` restores it and calls
+        this again, reproducing the identical pool without storing it."""
+        prefix = np.array([], dtype=np.int64) if prefix is None else np.asarray(prefix)
+        fresh = np.arange(len(prefix), self.num_samples)
+        self.rng_state = self.rng.get_state()
+        self.rng.shuffle(fresh)
+        pool = np.concatenate([prefix, fresh]).astype(int)
+        self.indices = pool[: self._pool_size()]
+        if len(self.indices) < self.batch_size:
+            raise ValueError(f"epoch pool ({len(self.indices)}) smaller than one batch ({self.batch_size})")
+        self.num_consumed_samples_in_epoch = 0
+
+    # ------------------------------------------------------------- public api
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
         self.rng = np.random.RandomState(self.seed + self.epoch)
 
     def __len__(self):
-        ramp_steps = (self.batch_size - self.start_bsz) // self.bsz_incre
-        if self.batch_count < ramp_steps * self.incre_every:
-            rampup_samples = sum(
-                (i * self.bsz_incre + self.start_bsz) * self.incre_every for i in range(ramp_steps)
-            )
-            num_batches = (self.num_samples - rampup_samples * self.data_world_size) // self.batch_size
-            return num_batches // self.data_world_size + self.incre_every * ramp_steps
+        if self.batch_count < self._ramp_stages() * self.incre_every:
+            post_ramp = self.num_samples - self._rampup_sample_budget() * self.data_world_size
+            return (post_ramp // self.batch_size) // self.data_world_size \
+                + self._ramp_stages() * self.incre_every
         return self.num_samples // self.batch_size // self.data_world_size
 
     def __iter__(self):
-        indices = self.indices[self.data_rank :: self.data_world_size]
-        while self.num_consumed_samples_in_epoch < len(indices):
-            batch_rampup_idx = self.batch_count // self.incre_every
-            cur_batch_size = min(batch_rampup_idx * self.bsz_incre + self.start_bsz, self.batch_size)
-            batch = indices[self.num_consumed_samples_in_epoch : self.num_consumed_samples_in_epoch + cur_batch_size]
+        mine = self.indices[self.data_rank :: self.data_world_size]
+        while self.num_consumed_samples_in_epoch < len(mine):
+            cursor = self.num_consumed_samples_in_epoch
+            take = self._step_batch_size(self.batch_count)
+            batch = mine[cursor : cursor + take]
             self.num_consumed_samples_in_epoch += len(batch)
             self.batch_count += 1
             yield batch
-        self.get_indices()  # next round
+        self._reshuffle()  # roll straight into the next pool
 
     def state_dict(self) -> dict:
         return {
@@ -118,9 +146,10 @@ class StaticBatchSampler:
 
     def load_state_dict(self, states: dict):
         for name in ("data_world_size", "raw_rampup_batch_size", "seed"):
-            assert states[name] == getattr(self, name), (name, states[name], getattr(self, name))
+            if states[name] != getattr(self, name):
+                raise ValueError(f"resume mismatch on {name}: {states[name]} != {getattr(self, name)}")
         self.rng.set_state(states["rng_state"])
-        self.get_indices(old_indices=None)  # re-derive indices from rng state (ref :265-272)
+        self._reshuffle()  # re-derive the pool from the restored rng state
         self.epoch = states["epoch"]
         self.batch_count = states["batch_count"]
         self.num_consumed_samples_in_epoch = states["num_consumed_samples_in_epoch"]

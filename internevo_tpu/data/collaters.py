@@ -53,8 +53,11 @@ def jsonl_ds_collate_fn(batch, max_length_per_sample: int):
     the packed path."""
     xs, ys = [], []
     for x in batch:
-        tokens = np.abs(np.asarray(x["tokens"][:max_length_per_sample], dtype=np.int64))
-        labels = np.where(tokens > 0, tokens, -100)
+        # negative ids mark loss-masked tokens (SFT prompts; ref collaters.py:70:
+        # labels from the RAW signed tokens, inputs from abs())
+        raw = np.asarray(x["tokens"][:max_length_per_sample], dtype=np.int64)
+        tokens = np.abs(raw)
+        labels = np.where(raw > 0, raw, -100)
         labels = np.concatenate([labels[1:], [-100]])
         xs.append(tokens)
         ys.append(labels)

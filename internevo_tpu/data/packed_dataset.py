@@ -14,8 +14,6 @@ depends on; the implementation is vectorised numpy rather than python lists.
 
 from __future__ import annotations
 
-import itertools as it
-import operator
 import os
 
 import numpy as np
@@ -46,108 +44,101 @@ class PackedDataset:
 
 
 class PackedDatasetWithCut(PackedDataset):
-    """Pack i = tokens [i*packed_length, (i+1)*packed_length) of the shuffled
-    concatenation; samples are cut across pack boundaries."""
+    """Pack i = token window [i*P, (i+1)*P) of the seed-shuffled sample
+    concatenation; samples are cut across pack boundaries.
+
+    Behavioral contract (SURVEY A.4, pinned byte-identical by
+    ``test_reference_pack_parity.py``):
+    - labels are next-token within a sample; the label at a cut is the first
+      token of the sample's continuation in the next pack; true sample ends
+      get -100;
+    - cu_seqlens additionally re-splits any span longer than
+      ``max_length_per_sample`` (labels are NOT affected by the re-split);
+    - position ids restart at every cu_seqlens boundary, and each pack
+      fragment re-chunks from its own start.
+    """
 
     def __init__(self, dataset, max_length_per_sample: int = 2048, packed_length: int = 4096,
                  use_packed: bool = True, micro_bsz: int = 1):
         super().__init__(dataset, max_length_per_sample, packed_length, use_packed, micro_bsz)
-        self.sample_indices, self.len_samples_shuffled, self.acm_len_samples = self.accu_sample_len(seed=self.seed)
-        self.num_tokens = int(sum(self.lengths))
-
-    def accu_sample_len(self, seed=None):
-        rng = np.random.RandomState(seed if seed is not None else self.seed - 1)
-        sample_indices = np.arange(len(self.lengths))
-        rng.shuffle(sample_indices)
-        len_samples_shuffled = list(map(self.lengths.__getitem__, sample_indices))
-        acm_len_samples = list(it.accumulate(len_samples_shuffled, operator.add))
-        return sample_indices, len_samples_shuffled, acm_len_samples
+        order = np.arange(len(self.lengths))
+        np.random.RandomState(self.seed).shuffle(order)
+        self.shuffled_order = order
+        # _cum_tokens[j] = tokens in the first j+1 shuffled samples; the sole
+        # index structure (replaces any per-pack sample walking)
+        self._cum_tokens = np.cumsum(np.asarray(self.lengths, dtype=np.int64)[order])
+        self.num_tokens = int(self._cum_tokens[-1]) if len(order) else 0
 
     def __len__(self):
         return self.num_tokens // self.packed_length
 
-    def cal_map(self, carriage_idx: int = 0) -> int:
-        length_train = (carriage_idx + 1) * self.packed_length
-        return int(np.searchsorted(self.acm_len_samples, length_train, side="left"))
+    def _locate(self, token_pos: int):
+        """Global stream offset -> (shuffled sample index, offset inside it)."""
+        j = int(np.searchsorted(self._cum_tokens, token_pos, side="right"))
+        base = int(self._cum_tokens[j - 1]) if j > 0 else 0
+        return j, token_pos - base
 
-    def mapping(self, pack_idx: int = 0):
-        pre_pos, pre_token_id = 0, 0
-        if pack_idx > 0:
-            pre_pos = self.cal_map(pack_idx - 1)
-            pre_token_id = self.len_samples_shuffled[pre_pos] - (
-                self.acm_len_samples[pre_pos] - pack_idx * self.packed_length
-            )
-            if pre_token_id == self.len_samples_shuffled[pre_pos]:
-                pre_pos += 1
-                pre_token_id = 0
-        pos = self.cal_map(pack_idx)
-        token_id = self.len_samples_shuffled[pos] - (self.acm_len_samples[pos] - (pack_idx + 1) * self.packed_length)
-        return pre_pos, pre_token_id, pos, int(token_id)
-
-    def _append_chunk(self, chunk, next_token_label, type_id, out):
-        """Append one sample fragment: labels shift-by-1 within the chunk with the
-        given cross-boundary/next label at the end; cu_seqlens re-split every
-        max_length_per_sample; position ids restart at each boundary."""
-        pack, cu_seqlens, indexes, labels, type_ids = out
-        chunk = list(chunk)
-        pack.extend(chunk)
-        labels.extend(list(chunk[1:]) + [next_token_label])
-        type_ids.extend([type_id] * len(chunk))
-        num_new_samples, tokens_left = divmod(len(chunk), self.max_length_per_sample)
-        for _ in range(num_new_samples):
-            cu_seqlens.append(cu_seqlens[-1] + self.max_length_per_sample)
-            indexes.extend(range(self.max_length_per_sample))
-        if tokens_left > 0:
-            cu_seqlens.append(cu_seqlens[-1] + tokens_left)
-            indexes.extend(range(tokens_left))
+    def _spans(self, n: int):
+        """Fragment of n tokens -> (span lengths capped at max_length, restart
+        position ids), vectorized."""
+        maxlen = self.max_length_per_sample
+        positions = (np.arange(n) % maxlen).tolist()
+        full, rem = divmod(n, maxlen)
+        return [maxlen] * full + ([rem] if rem else []), positions
 
     def build_pack(self, item: int) -> dict:
-        pre_pos, pre_token_id, pos, token_id = self.mapping(item)
-        out = ([], [0], [], [], [])  # pack, cu_seqlens, indexes, labels, type_ids
+        window_start = item * self.packed_length
+        j, offset = self._locate(window_start)
 
-        while pre_pos < pos:
-            sample = self.dataset[self.sample_indices[pre_pos]]
-            chunk = sample["tokens"][pre_token_id:]
-            self._append_chunk(chunk, -100, sample.get("type_id", 0), out)
-            pre_pos += 1
-            pre_token_id = 0
+        tokens, labels, type_ids, positions = [], [], [], []
+        cu_seqlens = [0]
+        remaining = self.packed_length
+        while remaining > 0:
+            sample = self.dataset[int(self.shuffled_order[j])]
+            toks = sample["tokens"]
+            frag = list(toks[offset : offset + remaining])
+            cut_at = offset + len(frag)
+            # next-token labels; at a cut the label is the continuation's first
+            # token, at a true sample end it is -100 (ref :312-318)
+            carry = toks[cut_at] if cut_at < len(toks) else -100
+            tokens.extend(frag)
+            labels.extend(frag[1:])
+            labels.append(carry)
+            type_ids.extend([sample.get("type_id", 0)] * len(frag))
+            span_lens, pos = self._spans(len(frag))
+            positions.extend(pos)
+            for s in span_lens:
+                cu_seqlens.append(cu_seqlens[-1] + s)
+            remaining -= len(frag)
+            j += 1
+            offset = 0
 
-        sample = self.dataset[self.sample_indices[pos]]
-        chunk = sample["tokens"][pre_token_id:token_id]
-        # cross-boundary label: the first token of the next fragment (ref :312-318)
-        next_label = -100 if token_id == len(sample["tokens"]) else sample["tokens"][token_id]
-        self._append_chunk(chunk, next_label, sample.get("type_id", 0), out)
-
-        pack, cu_seqlens, indexes, labels, type_ids = out
-        return {"tokens": pack, "cu_seqlens": cu_seqlens, "indexes": indexes,
+        return {"tokens": tokens, "cu_seqlens": cu_seqlens, "indexes": positions,
                 "labels": labels, "type_ids": type_ids}
-
-    def cal_pos_unpack(self, index: int):
-        return index * self.micro_bsz, (index + 1) * self.micro_bsz
 
     def build_unpack(self, index: int) -> dict:
         """Unpacked mode: micro_bsz whole samples truncated to max_length, padded
         to packed_length with 0s and label 0 (ref :342-389)."""
-        pre_pos, pos = self.cal_pos_unpack(index)
-        pack, cu_seqlens, indexes, labels, type_ids = [], [0], [], [], []
-        while pre_pos < pos and pre_pos < len(self.dataset):
-            sample = self.dataset[self.sample_indices[pre_pos]]
-            length = min(len(sample["tokens"]), self.max_length_per_sample)
-            chunk = list(sample["tokens"][0:length])
-            pack.extend(chunk)
-            labels.extend(list(chunk[1:]) + [-100])
-            type_ids.extend([sample.get("type_id", 0)] * length)
-            cu_seqlens.append(cu_seqlens[-1] + length)
-            indexes.extend(range(length))
-            pre_pos += 1
-        if cu_seqlens[-1] != self.packed_length:
-            pad = self.packed_length - cu_seqlens[-1]
-            pack.extend([0] * pad)
+        tokens, labels, type_ids, positions = [], [], [], []
+        cu_seqlens = [0]
+        lo = index * self.micro_bsz
+        for j in range(lo, min(lo + self.micro_bsz, len(self.dataset))):
+            sample = self.dataset[int(self.shuffled_order[j])]
+            frag = list(sample["tokens"][: self.max_length_per_sample])
+            tokens.extend(frag)
+            labels.extend(frag[1:])
+            labels.append(-100)
+            type_ids.extend([sample.get("type_id", 0)] * len(frag))
+            cu_seqlens.append(cu_seqlens[-1] + len(frag))
+            positions.extend(range(len(frag)))
+        pad = self.packed_length - cu_seqlens[-1]
+        if pad > 0:
+            tokens.extend([0] * pad)
             labels.extend([0] * pad)
             type_ids.extend([0] * pad)
-            indexes.extend(range(pad))
+            positions.extend(range(pad))
             cu_seqlens.append(self.packed_length)
-        return {"tokens": pack, "cu_seqlens": cu_seqlens, "indexes": indexes,
+        return {"tokens": tokens, "cu_seqlens": cu_seqlens, "indexes": positions,
                 "labels": labels, "type_ids": type_ids}
 
 

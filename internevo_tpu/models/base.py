@@ -368,7 +368,10 @@ def block_forward(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.Ar
     if isinstance(ffn_out, tuple):  # MoE ffn returns (out, l_aux)
         ffn_out, aux = ffn_out
     out = ffn_out + residual
-    out = sh.constrain(out.astype(cfg.dtype), "batch", "seq", "act_embed")
+    # with residual_in_fp32 the fp32 residual stream persists across the whole
+    # stack (reference keeps it fp32 end-to-end); callers upcast the scan carry
+    out_dtype = jnp.float32 if cfg.residual_in_fp32 else cfg.dtype
+    out = sh.constrain(out.astype(out_dtype), "batch", "seq", "act_embed")
     if aux is not None:
         return out, aux
     return out
@@ -418,6 +421,8 @@ def model_forward(
     ``block_fn(layer_params, x) -> x`` overrides the block body (MoE models).
     """
     x = embed_tokens(cfg, params, input_ids)
+    if cfg.residual_in_fp32:
+        x = x.astype(jnp.float32)  # stable scan-carry dtype for the fp32 stream
 
     if block_fn is None:
         def block_fn(layer, h):  # noqa: F811

@@ -102,6 +102,8 @@ def moe_param_specs(cfg: ModelConfig) -> dict:
 def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segment_ids,
                       dropout_rng: Optional[jax.Array] = None, train: bool = True):
     x = embed_tokens(cfg, params, input_ids)
+    if cfg.residual_in_fp32:
+        x = x.astype(jnp.float32)
 
     def moe_ffn(layer, h):
         if cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock"):

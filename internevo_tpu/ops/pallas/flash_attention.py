@@ -48,18 +48,20 @@ def _interpret_default() -> bool:
 def _block_should_run(q_start, k_start, block_q, block_k, causal, use_segments,
                       q_seg_ref, kv_seg_ref):
     """Whole-block skip condition: causal (block fully above the diagonal) and
-    segment-range overlap (ids are non-decreasing within a row, so a block pair
-    interacts iff [q_first, q_last] ∩ [kv_first, kv_last] ≠ ∅) — the
-    cu_seqlens compute-skipping of the reference's varlen kernels."""
+    segment-range overlap ([q_min, q_max] ∩ [kv_min, kv_max] ≠ ∅) — the
+    cu_seqlens compute-skipping of the reference's varlen kernels.  The range
+    is computed with min/max over the whole block (NOT first/last element):
+    eval batches pad with segment id 0 *after* the real ids, so ids are not
+    monotonic within a block and first/last would falsely skip real work."""
     run = jnp.asarray(True)
     if causal:
         run = jnp.logical_and(run, q_start + block_q - 1 >= k_start)
     if use_segments:
-        q_first = q_seg_ref[0, 0, 0]
-        q_last = q_seg_ref[0, block_q - 1, 0]
-        kv_first = kv_seg_ref[0, 0, 0]
-        kv_last = kv_seg_ref[0, 0, block_k - 1]
-        run = jnp.logical_and(run, jnp.logical_and(q_last >= kv_first, q_first <= kv_last))
+        q_col = q_seg_ref[0, :, 0]
+        kv_row = kv_seg_ref[0, 0, :]
+        q_min, q_max = jnp.min(q_col), jnp.max(q_col)
+        kv_min, kv_max = jnp.min(kv_row), jnp.max(kv_row)
+        run = jnp.logical_and(run, jnp.logical_and(q_max >= kv_min, q_min <= kv_max))
     return run
 
 
@@ -121,6 +123,10 @@ def _fwd_kernel(
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
+        # Rows with no unmasked entry so far have m_new == DEFAULT_MASK_VALUE,
+        # making p == exp(0) == 1 for every masked entry; zero those rows so l
+        # stays 0 and finalize emits zeros/-inf instead of an average of v.
+        p = jnp.where(m_new > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         correction = jnp.exp(m_prev - m_new)
         l_new = l_sc[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
 

@@ -32,6 +32,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..core.context import PP, TP
@@ -139,7 +140,9 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
         mlp_out = _psum_tp(mlp_part)
     if "bias" in layer.get("w2", {}):
         mlp_out = mlp_out + layer["w2"]["bias"].astype(mlp_out.dtype)
-    return (mlp_out + residual).astype(cfg.dtype)
+    # with residual_in_fp32 the fp32 stream persists across the stage's layers;
+    # stage boundaries downcast for the p2p transfer (half the ICI bytes)
+    return (mlp_out + residual).astype(jnp.float32 if cfg.residual_in_fp32 else cfg.dtype)
 
 
 def _local_head_cfg(cfg: ModelConfig, tp: int):
@@ -172,8 +175,10 @@ def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, s
     def scan_body(h, layer):
         return body(layer, h), None
 
+    if cfg.residual_in_fp32:
+        x = x.astype(jnp.float32)
     out, _ = jax.lax.scan(scan_body, x, blocks_local)
-    return out
+    return out.astype(cfg.dtype) if cfg.residual_in_fp32 else out
 
 
 def _manual_embed(cfg: ModelConfig, tp: int, embedding_local, input_ids):
@@ -226,7 +231,7 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
         smooth = -sum_lp / (V_local * tp)
         nll = jnp.where(valid, (1 - label_smoothing) * nll + label_smoothing * smooth, 0.0)
     n_valid = jnp.sum(valid)
-    loss = jnp.sum(nll) / jnp.maximum(n_valid, 1)
+    nll_sum = jnp.sum(nll)
 
     # vocab-parallel accuracy (reference AccPerplex, metrics.py:129-141)
     local_max = jnp.max(flat, axis=-1)
@@ -234,12 +239,17 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
     is_owner = local_max == gmax
     correct = jax.lax.psum(jnp.where(is_owner & (local_arg == lab) & valid, 1, 0), TP)
     n_correct = jnp.sum(jnp.clip(correct, 0, 1))
-    return loss, n_valid, n_correct
+    return nll_sum, n_valid, n_correct
 
 
 def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                      num_chunks: int = 1, tp_mode: str = "mtp"):
     """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``.
+
+    ``num_chunks == 1`` uses the true 1F1B schedule (``_1f1b_loss_fn``):
+    O(pp) live microbatches and the vocab head computed only on the last
+    stage, parity with the reference ``PipelineScheduler``
+    (``pipeline_scheduler.py:111-708``).
 
     ``num_chunks > 1`` enables the interleaved (circular/virtual-chunk)
     schedule, parity with the reference ``InterleavedPipelineScheduler``
@@ -249,6 +259,15 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
     advances the chunk.  Requires M % pp == 0 (reference :743); the bubble
     shrinks from (pp-1)/(M+pp-1) to (pp-1)/(M*C+pp-1).
     """
+    if num_chunks == 1:
+        return _1f1b_loss_fn(cfg, mesh, pp, label_smoothing, tp_mode)
+    return _gpipe_loss_fn(cfg, mesh, pp, label_smoothing, num_chunks, tp_mode)
+
+
+def _gpipe_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
+                   num_chunks: int = 1, tp_mode: str = "mtp"):
+    """GPipe-schedule fori_loop, differentiated by jax.grad through the
+    shard_map.  Retained for the interleaved (num_chunks > 1) schedule."""
     tp = mesh.shape.get(TP, 1)
     C = num_chunks
     assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
@@ -337,7 +356,8 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
                     norm_head=cfg.norm_head, label_smoothing=label_smoothing,
                 )
                 return nll_sum / jnp.maximum(n_valid, 1), n_valid, n_cor
-            return _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
+            nll_sum, n_valid, n_cor = _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
+            return nll_sum / jnp.maximum(n_valid, 1), n_valid, n_cor
 
         # the head runs on every stage (its cost is amortized over M micro
         # batches); only the last stage's result survives the mask.  A cond
@@ -363,28 +383,7 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
             layer_idx = jnp.asarray(
                 [v * Lg + i for v in group_order for i in range(Lg)], jnp.int32)
             blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
-        # layer dim over pp; column-parallel output dims over tp; row-parallel
-        # input dims over tp — mirrors the GSPMD param specs (sharding.py).
-        bs = {}
-        bs["norm1"] = P(PP)
-        bs["norm2"] = P(PP)
-        if "norm1_bias" in blocks:
-            bs["norm1_bias"] = P(PP)
-            bs["norm2_bias"] = P(PP)
-        bs["wqkv"] = {"kernel": P(PP, None, TP)}
-        if "bias" in blocks["wqkv"]:
-            bs["wqkv"]["bias"] = P(PP, TP)
-        bs["out_proj"] = {"kernel": P(PP, TP, None)}
-        if "bias" in blocks["out_proj"]:
-            bs["out_proj"]["bias"] = P(PP)
-        bs["w1"] = {"kernel": P(PP, None, TP)}
-        bs["w3"] = {"kernel": P(PP, None, TP)}
-        bs["w2"] = {"kernel": P(PP, TP, None)}
-        if "bias" in blocks["w1"]:
-            bs["w1"]["bias"] = P(PP, TP)
-            bs["w3"]["bias"] = P(PP, TP)
-            bs["w2"]["bias"] = P(PP)
-
+        bs = _block_pspecs(blocks)
         norm_bias = params.get("norm_bias")
         sm = jax.shard_map(
             stage_fn,
@@ -408,4 +407,293 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
         loss = loss_sum / M
         return loss, (loss, n_tok, n_cor)
 
+    return loss_fn
+
+def _block_pspecs(blocks) -> dict:
+    """PartitionSpecs for the per-stage block stack: layer dim over pp;
+    column-parallel output dims over tp; row-parallel input dims over tp —
+    mirrors the GSPMD param specs (sharding.py)."""
+    bs = {}
+    bs["norm1"] = P(PP)
+    bs["norm2"] = P(PP)
+    if "norm1_bias" in blocks:
+        bs["norm1_bias"] = P(PP)
+        bs["norm2_bias"] = P(PP)
+    bs["wqkv"] = {"kernel": P(PP, None, TP)}
+    if "bias" in blocks["wqkv"]:
+        bs["wqkv"]["bias"] = P(PP, TP)
+    bs["out_proj"] = {"kernel": P(PP, TP, None)}
+    if "bias" in blocks["out_proj"]:
+        bs["out_proj"]["bias"] = P(PP)
+    bs["w1"] = {"kernel": P(PP, None, TP)}
+    bs["w3"] = {"kernel": P(PP, None, TP)}
+    bs["w2"] = {"kernel": P(PP, TP, None)}
+    if "bias" in blocks["w1"]:
+        bs["w1"]["bias"] = P(PP, TP)
+        bs["w3"]["bias"] = P(PP, TP)
+        bs["w2"]["bias"] = P(PP)
+    return bs
+
+
+
+
+def _unmentioned_axes(spec: P, axes: tuple) -> tuple:
+    named = set()
+    for entry in spec:
+        if entry is None:
+            continue
+        named.update(entry if isinstance(entry, tuple) else (entry,))
+    return tuple(ax for ax in axes if ax not in named)
+
+
+def _boundary_psum(tree, specs, axes: tuple):
+    """Sum each cotangent over the mesh axes its in_spec replicates it on —
+    the transpose rule jax.grad applies at the shard_map boundary (probed:
+    check_vma=False psums replicated-input cotangents over unmentioned axes).
+    For the fully-manual 1F1B region this also covers the dp/zero grad
+    all-reduce the reference does in its ZeRO bucket reducer."""
+    def one(g, spec):
+        over = _unmentioned_axes(spec, axes)
+        return jax.lax.psum(g, over) if over else g
+
+    return jax.tree.map(one, tree, specs)
+
+
+def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
+                  tp_mode: str = "mtp"):
+    """True 1F1B pipeline (reference ``PipelineScheduler``,
+    ``pipeline_scheduler.py:111-708``), TPU-native formulation:
+
+    - ONE shard_map, fully manual over (pp, tp, dp, zero): ZeRO-sharded params
+      are all-gathered once at entry (the reference's param broadcast), the
+      batch arrives dp-sharded, grads leave through an explicit dp/zero psum
+      (the reference's bucketed grad all-reduce);
+    - one lockstep fori_loop of T = M + 2*pp - 2 ticks; per tick each stage
+      runs at most one microbatch forward and one microbatch backward (jax.vjp
+      with the stage input re-fetched from a circular buffer — stage-granular
+      rematerialization);
+    - forward of micro m runs on stage s at tick m + s; backward at tick
+      m + 2*pp - 2 - s; on the last stage both coincide, so its forward is
+      folded into the backward and the vocab head + CE run ONLY there (the
+      GPipe path computed them on every stage and masked);
+    - live state is O(pp), not O(micro_num): a min(2*pp, M)-slot input buffer
+      plus fp32 grad accumulators — the reference 1F1B's bounded in-flight
+      microbatch set;
+    - gradients accumulate inside the loop and leave through a custom_vjp, so
+      ``jax.grad(loss_fn)`` in the scheduler keeps working unchanged.
+    """
+    from ..core.context import DP, ZERO
+
+    tp = mesh.shape.get(TP, 1)
+    ALL_AXES = (PP, TP, DP, ZERO)
+    BATCH_AXES = (DP, ZERO)
+    assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
+    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+    seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
+
+    def stage_fn(blocks, embedding, norm, head, norm_bias,
+                 input_ids, positions, segment_ids, labels):
+        pp_idx = jax.lax.axis_index(PP)
+        tp_idx = jax.lax.axis_index(TP)
+        is_last = pp_idx == pp - 1
+        M, b, S = input_ids.shape  # b = LOCAL batch (dp/zero are manual here)
+        H = cfg.hidden_size
+        S_loc = S // tp if seq_parallel else S
+        consts = {"embedding": embedding, "norm": norm, "head": head}
+        if norm_bias is not None:
+            consts["norm_bias"] = norm_bias
+
+        # per-micro GLOBAL valid-token counts: the CE normalizer (precomputed so
+        # backward seeds don't need a collective inside the loop)
+        nvg = jax.lax.psum(jnp.sum(labels != -100, axis=(1, 2)), BATCH_AXES)
+        nvg_f = jnp.maximum(nvg, 1).astype(jnp.float32)
+
+        def micro_fn(blocks_, consts_, x, m):
+            """One stage's work on microbatch m: embed on stage 0, the local
+            block stack everywhere, head + CE (local nll SUM) only on the last
+            stage."""
+            pos = jax.lax.dynamic_index_in_dim(positions, m, 0, keepdims=False)
+            seg = jax.lax.dynamic_index_in_dim(segment_ids, m, 0, keepdims=False)
+
+            def embed():
+                ids = jax.lax.dynamic_index_in_dim(input_ids, m, 0, keepdims=False)
+                e = _manual_embed(cfg, tp, consts_["embedding"], ids)
+                if seq_parallel:
+                    e = jax.lax.dynamic_slice_in_dim(e, tp_idx * S_loc, S_loc, axis=1)
+                return e
+
+            x_eff = jax.lax.cond(pp_idx == 0, embed, lambda: x)
+            h = _stage_blocks_apply(cfg, tp, blocks_, x_eff, pos, seg, seq_parallel)
+
+            def head_branch():
+                y = h
+                lab = jax.lax.dynamic_index_in_dim(labels, m, 0, keepdims=False)
+                if seq_parallel:
+                    y = jax.lax.all_gather(y, TP, axis=1, tiled=True)
+                if tp == 1 and cfg.norm_type == "rmsnorm":
+                    from ..ops.fused_ce import fused_norm_head_ce
+
+                    nll_sum, _n_valid, n_cor = fused_norm_head_ce(
+                        y, consts_["norm"], consts_["head"], lab,
+                        eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
+                        norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+                    )
+                    return nll_sum, n_cor
+                other = {"norm": consts_["norm"], "head": consts_["head"]}
+                if "norm_bias" in consts_:
+                    other["norm_bias"] = consts_["norm_bias"]
+                nll_sum, _n_valid, n_cor = _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
+                return nll_sum, n_cor
+
+            def no_head():
+                return jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)
+
+            nll_sum, n_cor = jax.lax.cond(is_last, head_branch, no_head)
+            return (h, nll_sum), n_cor
+
+        B = min(2 * pp, M)  # in-flight microbatches at stage s <= 2*(pp-s)-1
+        T = M + 2 * pp - 2
+        perm_fwd = [(i, i + 1) for i in range(pp - 1)]
+        perm_bwd = [(i + 1, i) for i in range(pp - 1)]
+
+        zero_grads = {
+            "blocks": jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), blocks),
+            "consts": jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), consts),
+        }
+
+        def tick(t, carry):
+            y_send, dx_send, x_buf, grads, loss_sum, cor_sum = carry
+            recv_x = jax.lax.ppermute(y_send, PP, perm_fwd)
+            recv_dy = jax.lax.ppermute(dx_send, PP, perm_bwd)
+
+            # ------------------------------------------------ forward substep
+            m_f = t - pp_idx
+            fwd_active = jnp.logical_and(jnp.logical_and(m_f >= 0, m_f < M),
+                                         jnp.logical_not(is_last))
+            mf = jnp.clip(m_f, 0, M - 1)
+
+            def do_fwd():
+                (h, _nll), _ = micro_fn(blocks, consts, recv_x, mf)
+                return h
+
+            y_new = jax.lax.cond(fwd_active, do_fwd, lambda: jnp.zeros_like(y_send))
+            x_buf = jax.lax.cond(
+                fwd_active,
+                lambda: jax.lax.dynamic_update_index_in_dim(x_buf, recv_x, mf % B, 0),
+                lambda: x_buf,
+            )
+
+            # ----------------------------------------------- backward substep
+            m_b = t - (2 * pp - 2 - pp_idx)
+            bwd_active = jnp.logical_and(m_b >= 0, m_b < M)
+            mb = jnp.clip(m_b, 0, M - 1)
+
+            def do_bwd(grads):
+                x_in = jnp.where(
+                    is_last, recv_x,
+                    jax.lax.dynamic_index_in_dim(x_buf, mb % B, 0, keepdims=False))
+                (_, nll_sum), vjp_fn, n_cor = jax.vjp(
+                    lambda bl, co, x: micro_fn(bl, co, x, mb),
+                    blocks, consts, x_in, has_aux=True)
+                ct_y = jnp.where(is_last, jnp.zeros_like(dx_send), recv_dy)
+                # d(total_loss)/d(nll_sum_m) = 1 / n_valid_global[m] (div by M
+                # happens outside); zero on non-last stages
+                ct_nll = jnp.where(is_last, 1.0 / nvg_f[mb], 0.0)
+                d_blocks, d_consts, dx = vjp_fn((ct_y, ct_nll.astype(nll_sum.dtype)))
+                grads = {
+                    "blocks": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
+                                           grads["blocks"], d_blocks),
+                    "consts": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
+                                           grads["consts"], d_consts),
+                }
+                return dx, grads, nll_sum / nvg_f[mb], n_cor
+
+            def skip_bwd(grads):
+                return (jnp.zeros_like(dx_send), grads, jnp.zeros((), jnp.float32),
+                        jnp.zeros((), jnp.int32))
+
+            dx_new, grads, loss_i, cor_i = jax.lax.cond(bwd_active, do_bwd, skip_bwd, grads)
+            return (y_new, dx_new, x_buf, grads, loss_sum + loss_i, cor_sum + cor_i)
+
+        act = jnp.zeros((b, S_loc, H), cfg.dtype)
+        init = (act, act, jnp.zeros((B, b, S_loc, H), cfg.dtype), zero_grads,
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
+        _, _, _, grads, loss_sum, cor_sum = jax.lax.fori_loop(0, T, tick, init)
+
+        # grads: cast to param dtype (the reference reduces bf16 buffers), then
+        # psum over every axis the in_spec replicates on — dp/zero (the data-
+        # parallel grad all-reduce) and pp/tp for shared params
+        bs = _block_pspecs(blocks)
+        cs = {"embedding": P(None, TP), "norm": P(), "head": P(None, TP)}
+        if norm_bias is not None:
+            cs["norm_bias"] = P()
+        d_blocks = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["blocks"], blocks)
+        d_consts = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["consts"], consts)
+        d_blocks = _boundary_psum(d_blocks, bs, ALL_AXES)
+        d_consts = _boundary_psum(d_consts, cs, ALL_AXES)
+
+        # loss/acc: only the last stage holds nonzero sums; reduce over pp and
+        # the batch axes (nll and n_cor are local batch-shard sums)
+        loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), (PP,) + BATCH_AXES)
+        cor_sum = jax.lax.psum(jnp.where(is_last, cor_sum, 0), (PP,) + BATCH_AXES)
+        tok_sum = jnp.sum(nvg)
+        dnb = d_consts.get("norm_bias", jnp.zeros((), jnp.float32))
+        return (loss_sum, tok_sum, cor_sum, d_blocks, d_consts["embedding"],
+                d_consts["norm"], d_consts["head"], dnb)
+
+    def run(params, batch):
+        blocks = params["blocks"]
+        bs = _block_pspecs(blocks)
+        norm_bias = params.get("norm_bias")
+        nb_spec = P()
+        batch_spec = P(None, BATCH_AXES)
+        sm = jax.shard_map(
+            stage_fn,
+            mesh=mesh,
+            in_specs=(bs, P(None, TP), P(), P(None, TP), nb_spec,
+                      batch_spec, batch_spec, batch_spec, batch_spec),
+            out_specs=(P(), P(), P(), bs, P(None, TP), P(), P(None, TP), nb_spec),
+            axis_names=set(ALL_AXES),
+            check_vma=False,
+        )
+        from .sharding import constraints_disabled
+
+        with constraints_disabled():
+            (loss_sum, n_tok, n_cor, d_blocks, d_emb, d_norm, d_head, d_nb) = sm(
+                blocks, params["embedding"]["weight"], params["norm"],
+                params["head"]["kernel"], norm_bias,
+                batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"],
+            )
+        M = batch["input_ids"].shape[0]
+        loss = loss_sum / M
+        grads = {
+            "blocks": jax.tree.map(lambda g: g / M, d_blocks),
+            "embedding": {"weight": d_emb / M},
+            "norm": d_norm / M,
+            "head": {"kernel": d_head / M},
+        }
+        if norm_bias is not None:
+            grads["norm_bias"] = d_nb / M
+        return loss, (n_tok, n_cor), grads
+
+    @jax.custom_vjp
+    def loss_fn(params, batch):
+        loss, (n_tok, n_cor), _ = run(params, batch)
+        return loss, (loss, n_tok, n_cor)
+
+    def loss_fwd(params, batch):
+        loss, (n_tok, n_cor), grads = run(params, batch)
+        return (loss, (loss, n_tok, n_cor)), (grads, batch)
+
+    def loss_bwd(res, ct):
+        grads, batch = res
+        ct_loss = ct[0] + ct[1][0]  # loss is returned twice (primary + aux)
+        d_params = jax.tree.map(lambda g: g * ct_loss.astype(g.dtype), grads)
+        d_batch = jax.tree.map(
+            lambda x: np.zeros(x.shape, jax.dtypes.float0)
+            if jnp.issubdtype(x.dtype, jnp.integer) else jnp.zeros_like(x),
+            batch)
+        return d_params, d_batch
+
+    loss_fn.defvjp(loss_fwd, loss_bwd)
     return loss_fn

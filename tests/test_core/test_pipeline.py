@@ -101,3 +101,44 @@ def test_pp2_msp2_sequence_parallel():
         steps=2,
     )
     np.testing.assert_allclose(losses_dp, losses_msp, rtol=3e-4, atol=3e-5)
+
+
+def test_1f1b_memory_flat_in_micro_num():
+    """True-1F1B criterion (reference pipeline_scheduler.py:375-430 bounds
+    in-flight microbatches to O(pp)): compiled temp memory must NOT grow with
+    micro_num.  The old GPipe path buffered O(micro_num) stage outputs."""
+    import jax.numpy as jnp
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import (
+        initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    def temp_bytes(micro_num):
+        seq, vocab = 128, 512
+        config = _cfg(
+            data=dict(seq_len=seq, micro_num=micro_num, micro_bsz=1),
+            model=dict(vocab_size=vocab, hidden_size=64, num_layers=2, num_attention_heads=4),
+            parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+                          pipeline=dict(size=2), weight=dict(size=1)),
+        )
+        launch(config, seed=1024)
+        model, params = initialize_model()
+        opt_state, lr_sched, beta2_sched = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lr_sched, beta2_sched)
+        dp = gpc.sizes.dp_total
+        rng = np.random.RandomState(0)
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, vocab, (micro_num, dp, seq), dtype=np.int32)),
+            "segment_ids": jnp.ones((micro_num, dp, seq), jnp.int32),
+            "indexes": jnp.asarray(np.tile(np.arange(seq, dtype=np.int32), (micro_num, dp, 1))),
+            "labels": jnp.asarray(rng.randint(0, vocab, (micro_num, dp, seq), dtype=np.int32)),
+        }
+        comp = trainer.engine.train_step_fn.lower(
+            params, opt_state, batch, jnp.zeros(()), jnp.zeros(())).compile()
+        return comp.memory_analysis().temp_size_in_bytes
+
+    t2, t8 = temp_bytes(2), temp_bytes(8)
+    # batch arrays themselves grow with micro_num; everything else must not
+    slack = 6 * 128 * 4 * 4 * 8  # 4 int32 (M,dp,seq) arrays' growth, amortized
+    assert t8 <= t2 * 1.10 + slack, (t2, t8)

@@ -37,12 +37,8 @@ def test_cut_semantics_docstring_example():
     ds = ListDataset([[1, 2], [3, 4], [5, 6, 7], [8, 9, 10, 11, 12, 13]])
     packed = PackedDatasetWithCut(ds, max_length_per_sample=3, packed_length=5)
     # force identity order to match the docstring
-    packed.sample_indices = np.arange(4)
-    packed.len_samples_shuffled = [2, 2, 3, 6]
-    import itertools as it
-    import operator
-
-    packed.acm_len_samples = list(it.accumulate(packed.len_samples_shuffled, operator.add))
+    packed.shuffled_order = np.arange(4)
+    packed._cum_tokens = np.cumsum([2, 2, 3, 6])
 
     p0 = packed.build_pack(0)
     assert p0["tokens"] == [1, 2, 3, 4, 5]
@@ -91,7 +87,7 @@ def test_num_packs_and_token_conservation():
         total.extend(p["tokens"])
     # the packed stream is exactly the shuffled concatenation prefix
     concat = []
-    for idx in packed.sample_indices:
+    for idx in packed.shuffled_order:
         concat.extend(ds[idx]["tokens"])
     assert total == concat[: n * 128]
 
@@ -140,7 +136,7 @@ def test_stream_oracle():
     rng = np.random.RandomState(1023)  # DEFAULT_SEED - 1 unused; order uses seed
     order = np.arange(len(ds.lengths))
     np.random.RandomState(1024).shuffle(order)
-    np.testing.assert_array_equal(order, packed.sample_indices)
+    np.testing.assert_array_equal(order, packed.shuffled_order)
 
     stream, is_sample_end = [], []
     for idx in order:
@@ -173,3 +169,17 @@ def test_stream_oracle():
         for b in cu[1:-1]:
             frag_started_at = max(a for a in cu if a < b and (b - a) <= MAXLEN)
             assert is_sample_end[lo + b - 1] or (b - frag_started_at) == MAXLEN or True
+
+
+def test_jsonl_collate_negative_tokens_are_loss_masked():
+    """Negative ids mark loss-masked tokens (SFT prompt convention): inputs use
+    abs(), labels from the RAW signed stream (ref collaters.py:70)."""
+    from internevo_tpu.data.collaters import jsonl_ds_collate_fn
+
+    batch = [{"tokens": [-5, -6, 7, 8]}, {"tokens": [9, 10]}]
+    data, labels = jsonl_ds_collate_fn(batch, max_length_per_sample=6)
+    np.testing.assert_array_equal(data["input_ids"][0, :4], [5, 6, 7, 8])
+    # next-token labels over the raw stream: [-6, 7, 8] -> [-100, 7, 8], then eos -100
+    np.testing.assert_array_equal(labels[0, :4], [-100, 7, 8, -100])
+    np.testing.assert_array_equal(labels[1, :2], [10, -100])
+    np.testing.assert_array_equal(data["segment_ids"][0], [1, 1, 1, 1, 0, 0])

@@ -90,3 +90,43 @@ def test_padding_rows_zero_output():
     out = flash_attention(q, k, v, segment_ids=seg, causal=True,
                           block_q=64, block_k=64, interpret=True)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_nonmonotonic_pad_boundary_mid_block():
+    """Eval batches pad with segment id 0 AFTER the real ids, so a q block can
+    contain [1,1,...,0,0] with the boundary at a non-block-multiple offset.
+    The whole-block skip test must use min/max over the block, or every kv
+    block gets skipped and real tokens emit garbage (ADVICE r1, high)."""
+    B, S, H, D = 1, 256, 2, 32
+    n_real = 160  # boundary inside the second 128-block
+    q, k, v = _rand((B, S, H, D), 0), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    seg = np.zeros((B, S), dtype=np.int32)
+    seg[:, :n_real] = 1
+    seg = jnp.asarray(seg)
+    out_ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    out = flash_attention(q, k, v, segment_ids=seg, causal=True,
+                          block_q=128, block_k=128, interpret=True)
+    np.testing.assert_allclose(out[:, :n_real], out_ref[:, :n_real], rtol=2e-5, atol=2e-5)
+    # pad rows attend only to themselves-or-nothing; they must stay finite
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_fully_masked_rows_in_visited_block_emit_zeros():
+    """A visited block where some rows are fully masked must not average v into
+    those rows (the exp(0)=1 accumulation bug, ADVICE r1 low): pad rows whose
+    id (0) matches no kv id anywhere must come out exactly zero."""
+    B, S, H, D = 1, 128, 2, 32
+    q, k, v = _rand((B, S, H, D), 0), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    seg = np.zeros((B, S), dtype=np.int32)
+    seg[:, :96] = 1  # pad rows 96:128 share a block with real rows 64:96
+    seg_kv = np.full((B, S), 2, dtype=np.int32)  # kv ids never match pad (0)
+    seg_kv[:, :96] = 1
+    from internevo_tpu.ops.pallas.flash_attention import flash_attention_with_lse
+
+    out, lse = flash_attention_with_lse(
+        q, k, v, segment_ids=jnp.asarray(seg), kv_segment_ids=jnp.asarray(seg_kv),
+        causal=False, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[:, 96:]), 0.0)
+    assert bool(jnp.all(jnp.isneginf(lse[..., 96:])))
+    out_ref = attention_reference(q, k, v, segment_ids=jnp.asarray(seg), causal=False)
+    np.testing.assert_allclose(out[:, :96], out_ref[:, :96], rtol=2e-5, atol=2e-5)

@@ -72,14 +72,22 @@ def test_auto_resume_picks_latest(tmp_path):
 
 
 def test_stop_file_protocol(tmp_path):
+    """Reference quit_signal_handler convention: -N = save at step N, +N =
+    save at step N AND quit; fires only at step == abs(N)."""
     engine, ts = _FakeEngine(), _FakeTrainState()
     stop_file = tmp_path / "stop.txt"
     mgr = _manager(tmp_path, engine, ts, stop_file_path=str(stop_file))
     ts.step_count = 3
     assert mgr.try_save_checkpoint(ts) is False  # no trigger
     stop_file.write_text("-3")
-    assert mgr.try_save_checkpoint(ts) is True   # save-and-quit
+    assert mgr.try_save_checkpoint(ts) is False  # save WITHOUT quit
     assert os.path.exists(str(tmp_path / "ckpts" / "3"))
+    ts.step_count = 4
+    assert mgr.try_save_checkpoint(ts) is False  # past target: no repeat save
+    assert not os.path.exists(str(tmp_path / "ckpts" / "4"))
+    stop_file.write_text("4")
+    assert mgr.try_save_checkpoint(ts) is True   # positive: save AND quit
+    assert os.path.exists(str(tmp_path / "ckpts" / "4"))
 
 
 def test_load_mask():
