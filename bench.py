@@ -32,7 +32,18 @@ def build_bench_config(preset: str):
         # act-ckpt on: 822M params' optimizer state takes ~11.5GB of the 16GB
         # v5e HBM, so activations must be rematerialized (the reference's
         # act-ckpt benchmark rows use the same trade, train_performance.md:58)
-        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
+        # micro_bsz=4 x micro_num=1 measured best (no grad-accum scan; the
+        # reference's own perf tables sweep micro shapes the same way,
+        # train_performance.md:74-86); correctness of grad accumulation is
+        # covered by tests, not the bench
+        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0),
+        "700m_m2": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
+        # 7B-shaped single-chip slice (hidden 4096, vocab 103168, 4 layers,
+        # seq 4096 packed 2x2048): validates the splash kernel + fused CE at
+        # flagship dimensions.  Full 7B adam state (14B/param) cannot fit one
+        # 16GB v5e chip, so this preset benches fwd+bwd only (fwd_bwd_only).
+        "7bshape": dict(hidden=4096, layers=4, heads=32, vocab=103168, seq=2048,
+                        micro_bsz=2, micro_num=1, ckpt=1.0, fwd_bwd_only=True),
         "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
     }
@@ -55,7 +66,7 @@ def main():
         model_type="INTERNLM",
         data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
                   total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
-        model=dict(checkpoint=p["ckpt"], num_attention_heads=p["heads"], vocab_size=p["vocab"],
+        model=dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")), num_attention_heads=p["heads"], vocab_size=p["vocab"],
                    embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
                    num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
                    norm_type="rmsnorm", layer_norm_epsilon=1e-5),
@@ -65,8 +76,10 @@ def main():
     launch(config, seed=1024)
 
     model, params = initialize_model()
-    opt_state, lr_sched, beta2_sched = initialize_optimizer(model, params)
-    trainer = initialize_trainer(model, params, opt_state, lr_sched, beta2_sched)
+    fwd_bwd_only = bool(p.get("fwd_bwd_only"))
+    if not fwd_bwd_only:
+        opt_state, lr_sched, beta2_sched = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lr_sched, beta2_sched)
 
     micro_num, micro_bsz, seq = p["micro_num"], p["micro_bsz"], p["seq"]
     P_len = seq * micro_bsz
@@ -82,16 +95,48 @@ def main():
         "labels": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
     }
 
-    # warmup (compile)
+    if fwd_bwd_only:
+        # fwd+bwd-only step: flagship-dimension kernel validation on one chip
+        # (the full adam state would not fit; see the 7bshape preset comment)
+        import jax.numpy as _jnp
+
+        from internevo_tpu.core.scheduler.no_pipeline import _micro_loss_and_metrics
+
+        def fb_step(params, batch):
+            micro = {k: v[0] for k, v in batch.items()}
+
+            def loss_fn(p):
+                loss, metrics = _micro_loss_and_metrics(model, p, micro)
+                return loss, metrics
+
+            grads, (loss, *_rest) = jax.grad(loss_fn, has_aux=True)(params)
+            gsum = sum(_jnp.sum(g.astype(_jnp.float32) ** 2) for g in jax.tree.leaves(grads))
+            return loss, gsum
+
+        step = jax.jit(fb_step)
+        run = lambda: step(params, batch)
+        metrics_holder = {}
+
+        def execute():
+            loss, gsum = run()
+            metrics_holder["loss"] = loss
+            return metrics_holder
+
+        trainer_execute = execute
+    else:
+        trainer_execute = lambda: trainer.execute_schedule(batch)
+
+    # warmup (compile); sync via host readback (block_until_ready does not
+    # drain the axon dispatch tunnel)
     for _ in range(3):
-        metrics = trainer.execute_schedule(batch)
-    jax.block_until_ready(metrics["loss"])
+        metrics = trainer_execute()
+    float(metrics["loss"])
 
     n_steps = 10
     t0 = time.perf_counter()
     for _ in range(n_steps):
-        metrics = trainer.execute_schedule(batch)
-    jax.block_until_ready(metrics["loss"])
+        metrics = trainer_execute()
+    float(metrics["loss"])
     dt = (time.perf_counter() - t0) / n_steps
 
     tokens_per_step = micro_num * dp * P_len

@@ -45,9 +45,11 @@ logger = logging.getLogger(__name__)
 # Mesh axis names.
 PP = "pp"
 DP = "dp"
+EP = "ep"       # expert parallelism: carved out of the zero group (EXPERT ⊂ DP,
+                # reference Initializer_Expert_Data, process_group_initializer.py:474)
 ZERO = "zero"
 TP = "tp"
-MESH_AXES = (PP, DP, ZERO, TP)
+MESH_AXES = (PP, DP, EP, ZERO, TP)
 
 
 class ParallelMode(str, Enum):
@@ -75,16 +77,16 @@ class ParallelMode(str, Enum):
 
 MODE_TO_AXES: dict[ParallelMode, tuple[str, ...]] = {
     ParallelMode.GLOBAL: MESH_AXES,
-    ParallelMode.DATA: (DP, ZERO),
+    ParallelMode.DATA: (DP, EP, ZERO),
     ParallelMode.TENSOR: (TP,),
     ParallelMode.SEQUENCE: (TP,),
     ParallelMode.PIPELINE: (PP,),
-    ParallelMode.ZERO1: (ZERO,),
+    ParallelMode.ZERO1: (EP, ZERO),
     ParallelMode.WEIGHT: (ZERO, TP),
-    ParallelMode.WEIGHT_DATA: (DP,),
+    ParallelMode.WEIGHT_DATA: (DP, EP),
     ParallelMode.MODEL: (PP, TP),
-    ParallelMode.EXPERT: (ZERO,),
-    ParallelMode.EXPERT_DATA: (DP,),
+    ParallelMode.EXPERT: (EP,),
+    ParallelMode.EXPERT_DATA: (DP, ZERO),
     ParallelMode.DUMMY: (),
 }
 
@@ -128,7 +130,15 @@ def _derive_sizes(world: int, parallel_cfg: Config, num_experts: int = 1) -> Par
     if zero1 < 1 or dp_total % zero1 != 0:
         raise ValueError(f"zero1={zero1} must divide dp={dp_total} (ref parallel_context.py:499-520)")
     dp = dp_total // zero1
-    ep = min(dp_total, num_experts) if num_experts > 1 else 1
+    # EP is carved out of the zero group: the largest ways dividing both the
+    # zero1 size and the expert count (reference: EXPERT ⊂ DP of size
+    # min(dp, num_experts), Initializer_Expert_Data :474; MoE requires
+    # zero1 == dp, launch.py:437-445, so zero is where the room is)
+    ep = 1
+    if num_experts > 1:
+        ep = min(zero1, num_experts)
+        while ep > 1 and (zero1 % ep or num_experts % ep):
+            ep -= 1
     return ParallelSizes(world=world, pp=pp, tp=tp, dp_total=dp_total, zero=zero1, dp=dp, wp=wp, ep=ep)
 
 
@@ -193,7 +203,7 @@ class ParallelContext:
             self.virtual_pipeline_size = int(pipe_cfg.get("num_chunks", 1) or 1)
 
         s = self.sizes
-        dev_array = np.asarray(devices).reshape(s.pp, s.dp, s.zero, s.tp)
+        dev_array = np.asarray(devices).reshape(s.pp, s.dp, s.ep, s.zero // s.ep, s.tp)
         self.mesh = Mesh(dev_array, MESH_AXES)
         return self.mesh
 

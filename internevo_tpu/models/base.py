@@ -63,6 +63,10 @@ class ModelConfig:
     embed_grad_scale: float = 0.1
     parallel_output: bool = True
     use_dynamic_ntk_rope: bool = False
+    scan_unroll: int = 1             # layer-scan unroll factor; 0 = fully unrolled
+    # static bound on packed-segment length (data.seq_len / max_length_per_sample):
+    # lets the splash attention grid skip out-of-segment kv blocks entirely
+    max_segment_len: Optional[int] = None
     residual_in_fp32: bool = False
     norm_type: str = "rmsnorm"
     drop_rate: float = 0.0
@@ -320,7 +324,8 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
         v = sh.constrain(v, "batch", None, "act_heads", None)
 
         ctx = flash_attention(q, k, v, segment_ids=segment_ids,
-                              softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
+                              softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
+                              max_segment_len=cfg.max_segment_len)
         ctx = sh.constrain(ctx, "batch", "seq", "act_heads", None)
     # under full-block remat, keep the attention output so the backward does
     # not re-run the forward flash kernel (its own bwd already recomputes p)
@@ -451,15 +456,21 @@ def model_forward(
     )
 
     blocks = params["blocks"]
+    # unrolling the layer scan amortizes the stacked per-layer grad buffer
+    # updates in the backward pass (the rolled loop's dynamic-update-slice
+    # re-materializes the whole (L, ...) buffer every iteration — measured
+    # ~13% of the 700M step); full unroll costs HBM (live buffers) and compile
+    # time, so it's a tunable knob.  0 = fully unrolled.
+    unroll = cfg.scan_unroll if cfg.scan_unroll != 0 else cfg.num_layers
     if n_ckpt >= cfg.num_layers:
-        x, _ = jax.lax.scan(full, x, blocks)
+        x, _ = jax.lax.scan(full, x, blocks, unroll=unroll)
     elif n_ckpt == 0:
-        x, _ = jax.lax.scan(light, x, blocks)
+        x, _ = jax.lax.scan(light, x, blocks, unroll=unroll)
     else:
         head_blocks = jax.tree.map(lambda a: a[:n_ckpt], blocks)
         tail_blocks = jax.tree.map(lambda a: a[n_ckpt:], blocks)
-        x, _ = jax.lax.scan(full, x, head_blocks)
-        x, _ = jax.lax.scan(light, x, tail_blocks)
+        x, _ = jax.lax.scan(full, x, head_blocks, unroll=min(unroll, n_ckpt))
+        x, _ = jax.lax.scan(light, x, tail_blocks, unroll=min(unroll, cfg.num_layers - n_ckpt))
 
     if return_hidden:
         return x

@@ -70,18 +70,16 @@ def init_moe_params(cfg: ModelConfig, key: jax.Array) -> dict:
 
 
 def moe_param_specs(cfg: ModelConfig) -> dict:
-    from ..core.context import ZERO
     from ..parallel.sharding import get_rules
     from jax.sharding import PartitionSpec as P
 
     rules = get_rules()
     base = block_param_specs(cfg)
     p = rules.param_spec
-    # EP = min(dp-ish, num_experts) in the reference (Initializer_Expert_Data);
-    # under GSPMD the expert dim can only shard over axes whose size divides E —
-    # otherwise experts stay replicated (pure dense compute per rank).
-    zero_size = rules.mesh.shape.get(ZERO, 1) if rules.mesh is not None else 1
-    expert_axis = "expert" if cfg.num_experts % max(zero_size, 1) == 0 else None
+    # the expert dim shards over the dedicated ep mesh axis (reference
+    # Initializer_Expert_Data :474); ep is derived at launch as the largest
+    # ways dividing both zero1 and num_experts, so this always divides E
+    expert_axis = "expert"
     moe_specs = {
         "gate": p("layer", "embed", None),
         "experts": {

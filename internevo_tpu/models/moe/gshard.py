@@ -20,7 +20,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ...core.context import ZERO
+from ...core.context import EP
 from ...parallel.sharding import get_rules
 from jax.sharding import PartitionSpec as P
 
@@ -168,12 +168,12 @@ def moe_layer_apply(
     # dispatch: (s, E, C) x (s, H) -> (E, C, H); GSPMD turns the E-sharding
     # constraint into the EXPERT all-to-all (ref GShardMOELayer :445-498)
     E = gate_w.shape[1]
-    zero_size = sh.mesh.shape.get(ZERO, 1) if sh.mesh is not None else 1
-    shard_experts = sh.mesh is not None and zero_size > 1 and E % zero_size == 0
+    ep_size = sh.mesh.shape.get(EP, 1) if sh.mesh is not None else 1
+    shard_experts = sh.mesh is not None and ep_size > 1
     dispatched = jnp.einsum("sec,sh->ech", dispatch.astype(x.dtype), tokens)
     if shard_experts:
         dispatched = jax.lax.with_sharding_constraint(
-            dispatched, jax.sharding.NamedSharding(sh.mesh, P(ZERO, None, None))
+            dispatched, jax.sharding.NamedSharding(sh.mesh, P(EP, None, None))
         )
     w1, w2, w3 = layer["experts"]["w1"], layer["experts"]["w2"], layer["experts"]["w3"]
     h1 = jnp.einsum("ech,ehm->ecm", dispatched, w1.astype(x.dtype))
@@ -182,7 +182,7 @@ def moe_layer_apply(
     expert_out = jnp.einsum("ecm,emh->ech", hidden, w2.astype(x.dtype))
     if shard_experts:
         expert_out = jax.lax.with_sharding_constraint(
-            expert_out, jax.sharding.NamedSharding(sh.mesh, P(ZERO, None, None))
+            expert_out, jax.sharding.NamedSharding(sh.mesh, P(EP, None, None))
         )
     combined = jnp.einsum("sec,ech->sh", combine.astype(x.dtype), expert_out)
     return combined.reshape(B, S, H), l_aux, exp_counts

@@ -92,10 +92,18 @@ def flash_attention(
     segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
+    max_segment_len: Optional[int] = None,
 ) -> jax.Array:
-    """Dispatch: Pallas flash kernel on TPU, jnp reference elsewhere."""
-    if use_pallas():
-        from .pallas.flash_attention import flash_attention as pallas_flash
+    """Dispatch: Pallas splash kernel on TPU, jnp reference elsewhere.
 
-        return pallas_flash(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)
+    ``max_segment_len`` (static bound on packed-segment length, i.e.
+    ``max_length_per_sample``) lets the splash grid skip out-of-segment kv
+    blocks entirely; optional — None still gets causal flattening.
+    """
+    if use_pallas():
+        from .pallas.splash_attention import splash_attention
+
+        return splash_attention(q, k, v, segment_ids=segment_ids,
+                                softmax_scale=softmax_scale, causal=causal,
+                                max_segment_len=max_segment_len)
     return attention_reference(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)

@@ -1,0 +1,657 @@
+"""Splash-style flash attention for TPU: flattened grid, zero wasted steps.
+
+The round-1 kernel (``flash_attention.py``) ran a dense (B, H, NQ, NK) grid
+and predicated away causally/segment-masked blocks — but a skipped TPU grid
+step still costs ~2us of fixed latency, and in-kernel vector->scalar reduces
+(min/max over the segment-id block to decide skipping) serialize the scalar
+core against the VPU.  At packed 7B shapes (causal + block-diagonal segments
+leave ~15% of blocks useful) that dominated the kernel: 13 TFLOPS useful.
+
+Design (the TPU "splash attention" recipe, applied to dynamic packing):
+
+- The (iq, ik) iteration space is FLATTENED into one static grid dimension:
+  for each q block, exactly ``min(causal_blocks(iq), KB)`` steps are emitted,
+  where ``KB = ceil((block_q + max_segment_len)/block_k) + 1`` statically
+  bounds how many kv blocks one q block can see when every packed segment is
+  at most ``max_segment_len`` tokens (the data pipeline guarantees this:
+  ``PackedDatasetWithCut`` re-splits spans at ``max_length_per_sample``).
+  Above-diagonal and out-of-segment blocks never become grid steps at all.
+- WHERE those steps land is dynamic: step (b, iq, j) visits kv block
+  ``kv_lo[b, iq] + j`` with ``kv_lo`` = block of the segment-run start at the
+  q block's first token (two cumulative scans outside the kernel).  This is
+  the varlen compute-skipping of the reference's flash-attn cu_seqlens
+  kernels (``multi_head_attention.py:568-582``), driven by segment runs.
+- ALL control decisions (visit block index, run/skip, needs-mask) are
+  precomputed outside as small (B, T) int32 arrays and read from SMEM via
+  scalar prefetch — the kernel never reduces vector data to scalars, so the
+  scalar core stays ahead of the VPU/MXU.
+- Three mask regimes: interior blocks (fully below the diagonal, uniform
+  matching segment) skip the iota/compare/select VPU work entirely.
+- lse and delta travel as (B, H, S, 8) f32 — sublane-replicated instead of
+  the old 128-lane broadcast — 16x less HBM traffic, no in-kernel relayout.
+
+The backward follows flash-attn's two-kernel split with the same flattening:
+dq iterates the identical (iq -> kv window) space; dkv flattens (ik -> q
+window) using the segment-run END at the kv block's last token, with the
+causal lower bound ``(ik*bk)//bq`` static, and walks GQA group members on the
+innermost grid dim.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+NEG_INF = -jnp.inf
+LANES = 128
+SUBLANES = 8
+
+
+def _interpret_default() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# --------------------------------------------------------------- flattening
+
+
+def _fwd_layout(S: int, Sk: int, block_q: int, block_k: int, causal: bool,
+                max_segment_len: Optional[int], use_segments: bool):
+    """Static (iq, j) schedule for the forward/dq grids."""
+    nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
+    if use_segments and max_segment_len is not None:
+        kb = _cdiv(block_q + max_segment_len, block_k) + 1
+    else:
+        kb = nk
+    iq_of, j_of, is_last = [], [], []
+    for iq in range(nq):
+        causal_blocks = ((iq + 1) * block_q - 1) // block_k + 1 if causal else nk
+        budget = min(causal_blocks, kb)
+        for j in range(budget):
+            iq_of.append(iq)
+            j_of.append(j)
+            is_last.append(1 if j == budget - 1 else 0)
+    return (np.asarray(iq_of, np.int32), np.asarray(j_of, np.int32),
+            np.asarray(is_last, np.int32))
+
+
+def _dkv_layout(S: int, Sk: int, block_q: int, block_k: int, causal: bool,
+                max_segment_len: Optional[int], use_segments: bool):
+    """Static (ik, j) schedule for the dkv grid: q window per kv block."""
+    nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
+    if use_segments and max_segment_len is not None:
+        kb = _cdiv(block_k + max_segment_len, block_q) + 1
+    else:
+        kb = nq
+    ik_of, j_of, is_last = [], [], []
+    for ik in range(nk):
+        q_lo = (ik * block_k) // block_q if causal else 0
+        budget = min(nq - q_lo, kb)
+        for j in range(budget):
+            ik_of.append(ik)
+            j_of.append(j)
+            is_last.append(1 if j == budget - 1 else 0)
+    return (np.asarray(ik_of, np.int32), np.asarray(j_of, np.int32),
+            np.asarray(is_last, np.int32))
+
+
+def _block_minmax(seg: jax.Array, block: int):
+    """(B, S) ids -> per-block min/max (B, S//block).  Block sizes always
+    divide S here (callers shrink blocks to S when S is small)."""
+    B, S = seg.shape
+    r = seg.reshape(B, S // block, block)
+    return r.min(axis=2), r.max(axis=2)
+
+
+def _segment_windows(seg: jax.Array, kv_seg: jax.Array, block_q: int, block_k: int):
+    """Per-(b, q block) first useful kv block and per-(b, kv block) last useful
+    q block, from segment RUN boundaries (segments are contiguous runs; ids
+    need not be monotonic — eval pads with 0 after real ids)."""
+    B, S = seg.shape
+    Sk = kv_seg.shape[1]
+    idx_q = jnp.arange(S, dtype=jnp.int32)[None]
+    idx_k = jnp.arange(Sk, dtype=jnp.int32)[None]
+    change = jnp.concatenate(
+        [jnp.ones((B, 1), bool), kv_seg[:, 1:] != kv_seg[:, :-1]], axis=1)
+    run_start = jax.lax.cummax(jnp.where(change, idx_k, 0), axis=1)
+    change_n = jnp.concatenate(
+        [seg[:, 1:] != seg[:, :-1], jnp.ones((B, 1), bool)], axis=1)
+    run_end = jax.lax.cummin(jnp.where(change_n, idx_q, S - 1), axis=1, reverse=True)
+    kv_lo = run_start[:, ::block_q] // block_k                 # (B, NQ)
+    q_hi = run_end[:, block_k - 1 :: block_k] // block_q        # (B, NK)
+    return kv_lo.astype(jnp.int32), q_hi.astype(jnp.int32)
+
+
+def _fwd_control(q_seg, kv_seg, kv_lo, iq_of, j_of, block_q, block_k,
+                 causal, use_segments, nq, nk):
+    """(B, T) control arrays for the fwd/dq grids: visited kv block, run flag,
+    needs-mask flag.  Tiny; computed with jnp outside the kernel so the kernel
+    makes no vector->scalar reductions."""
+    B = kv_lo.shape[0]
+    iq = jnp.asarray(iq_of)[None]                     # (1, T)
+    j = jnp.asarray(j_of)[None]
+    kvblk_raw = kv_lo[:, iq_of] + j                   # (B, T)
+    in_window = kvblk_raw <= nk - 1
+    if causal:
+        causal_hi = ((iq + 1) * block_q - 1) // block_k
+        run = jnp.logical_and(in_window, kvblk_raw <= causal_hi)
+    else:
+        run = in_window
+    kvblk = jnp.minimum(kvblk_raw, nk - 1)
+    if causal:
+        diag = iq * block_q < (kvblk + 1) * block_k - 1
+    else:
+        diag = jnp.zeros_like(run)
+    if use_segments:
+        qmin, qmax = _block_minmax(q_seg, block_q)
+        kmin, kmax = _block_minmax(kv_seg, block_k)
+        uniform = ((jnp.take_along_axis(qmin, jnp.broadcast_to(iq, kvblk.shape), 1)
+                    == jnp.take_along_axis(qmax, jnp.broadcast_to(iq, kvblk.shape), 1))
+                   & (jnp.take_along_axis(kmin, kvblk, 1)
+                      == jnp.take_along_axis(kmax, kvblk, 1))
+                   & (jnp.take_along_axis(qmin, jnp.broadcast_to(iq, kvblk.shape), 1)
+                      == jnp.take_along_axis(kmin, kvblk, 1)))
+        masked = jnp.logical_or(diag, jnp.logical_not(uniform))
+    else:
+        masked = diag
+    kvblk = _hold_on_skip(kvblk, run)
+    return (kvblk.astype(jnp.int32), run.astype(jnp.int32), masked.astype(jnp.int32))
+
+
+def _hold_on_skip(blk, run):
+    """On skipped (budget-slack) steps, repeat the previously visited block
+    index so the pipeline issues no DMA for them — a skipped step then costs
+    only the fixed grid-step latency, not a kv fetch.  Step j=0 always runs,
+    so the forward fill never crosses an uninitialized boundary."""
+    T = blk.shape[1]
+    t_idx = jnp.arange(T, dtype=jnp.int32)[None]
+    last_run = jax.lax.cummax(jnp.where(run, t_idx, 0), axis=1)
+    return jnp.take_along_axis(blk, last_run, axis=1)
+
+
+def _dkv_control(q_seg, kv_seg, q_hi, ik_of, j_of, block_q, block_k,
+                 causal, use_segments, nq, nk):
+    """(B, Tk) control arrays for the dkv grid: visited q block, run, mask."""
+    ik = jnp.asarray(ik_of)[None]
+    j = jnp.asarray(j_of)[None]
+    q_lo = (ik * block_k) // block_q if causal else jnp.zeros_like(ik)
+    qblk_raw = q_lo + j                                # (1|B, Tk) -> broadcast
+    qblk_raw = jnp.broadcast_to(qblk_raw, (q_hi.shape[0], qblk_raw.shape[1]))
+    hi = jnp.take_along_axis(q_hi, jnp.broadcast_to(jnp.minimum(ik, nk - 1),
+                                                    qblk_raw.shape), 1) \
+        if use_segments else jnp.full_like(qblk_raw, nq - 1)
+    run = qblk_raw <= jnp.minimum(hi, nq - 1)
+    qblk = jnp.minimum(qblk_raw, nq - 1)
+    if causal:
+        diag = qblk * block_q < (ik + 1) * block_k - 1
+    else:
+        diag = jnp.zeros_like(run)
+    if use_segments:
+        qmin, qmax = _block_minmax(q_seg, block_q)
+        kmin, kmax = _block_minmax(kv_seg, block_k)
+        ikb = jnp.broadcast_to(jnp.minimum(ik, nk - 1), qblk.shape)
+        uniform = ((jnp.take_along_axis(qmin, qblk, 1) == jnp.take_along_axis(qmax, qblk, 1))
+                   & (jnp.take_along_axis(kmin, ikb, 1) == jnp.take_along_axis(kmax, ikb, 1))
+                   & (jnp.take_along_axis(qmin, qblk, 1) == jnp.take_along_axis(kmin, ikb, 1)))
+        masked = jnp.logical_or(diag, jnp.logical_not(uniform))
+    else:
+        masked = jnp.broadcast_to(diag, qblk.shape)
+    qblk = _hold_on_skip(qblk, run)
+    return (qblk.astype(jnp.int32), run.astype(jnp.int32), masked.astype(jnp.int32))
+
+
+def _broadcast_segs(q_seg, kv_seg, B, S, Sk):
+    q_seg_b = jax.lax.broadcast_in_dim(q_seg, (B, S, LANES), (0, 1))
+    kv_seg_b = jax.lax.broadcast_in_dim(kv_seg, (B, SUBLANES, Sk), (0, 2))
+    return q_seg_b, kv_seg_b
+
+
+# ------------------------------------------------------------------ forward
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    iq_of, j_of, last_of, kvblk, run_f, mask_f,
+    # inputs
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
+    # outputs
+    o_ref, lse_ref,
+    # scratch
+    acc_sc, m_sc, l_sc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    use_segments: bool,
+):
+    t = pl.program_id(2)
+    b = pl.program_id(0)
+
+    @pl.when(j_of[t] == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q_start = iq_of[t] * block_q
+    k_start = kvblk[b, t] * block_k
+
+    def update(s, needs_mask):
+        if needs_mask:
+            mask = None
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+                mask = rows >= cols
+            if use_segments:
+                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
+                mask = sm if mask is None else jnp.logical_and(mask, sm)
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        m_prev = m_sc[:, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        if needs_mask:
+            # rows with no unmasked entry yet: keep l == 0 (zeros, -inf lse)
+            p = jnp.where(m_new > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
+        correction = jnp.exp(m_prev - m_new)
+        l_new = l_sc[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, 0, :, :]
+        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_sc[:] = acc_sc[:] * correction + pv
+        m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
+        l_sc[:] = jnp.broadcast_to(l_new, l_sc.shape)
+
+    def compute():
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        @pl.when(mask_f[b, t] == 1)
+        def _masked():
+            update(s, True)
+
+        @pl.when(mask_f[b, t] == 0)
+        def _plain():
+            update(s, False)
+
+    @pl.when(run_f[b, t] == 1)
+    def _():
+        compute()
+
+    @pl.when(last_of[t] == 1)
+    def _finalize():
+        l = l_sc[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0, :, :] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        m = m_sc[:, :1]
+        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (lse.shape[0], SUBLANES))
+
+
+def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
+                    max_segment_len, interpret):
+    """q: (B, Hq, S, D); k/v: (B, Hkv, Sk, D)."""
+    B, Hq, S, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    q_per_kv = Hq // Hkv
+    nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
+    use_segments = q_seg is not None
+    iq_of, j_of, last_of = _fwd_layout(S, Sk, block_q, block_k, causal,
+                                       max_segment_len, use_segments)
+    T = len(iq_of)
+    if use_segments:
+        kv_lo, _ = _segment_windows(q_seg, kv_seg, block_q, block_k)
+    else:
+        q_seg = jnp.zeros((B, S), jnp.int32)
+        kv_seg = jnp.zeros((B, Sk), jnp.int32)
+        kv_lo = jnp.zeros((B, nq), jnp.int32)
+    kvblk, run_f, mask_f = _fwd_control(q_seg, kv_seg, kv_lo, iq_of, j_of,
+                                        block_q, block_k, causal, use_segments, nq, nk)
+    q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
+
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, use_segments=use_segments)
+
+    def kv_idx(b, h, t, iq_of, j_of, last_of, kvblk, run_f, mask_f):
+        return (b, h // q_per_kv, kvblk[b, t], 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B, Hq, T),
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES),
+                         lambda b, h, t, *s: (b, s[0][t], 0)),
+            pl.BlockSpec((1, SUBLANES, block_k),
+                         lambda b, h, t, *s: (b, 0, s[3][b, t])),
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, D),
+                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
+            pl.BlockSpec((1, 1, block_q, SUBLANES),
+                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((block_q, LANES), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(iq_of, j_of, last_of, kvblk, run_f, mask_f, q_seg_b, kv_seg_b, q, k, v)
+    return out, lse
+
+
+# ----------------------------------------------------------------- backward
+
+
+def _dq_kernel(
+    iq_of, j_of, last_of, kvblk, run_f, mask_f,
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_sc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    use_segments: bool,
+):
+    t = pl.program_id(2)
+    b = pl.program_id(0)
+
+    @pl.when(j_of[t] == 0)
+    def _init():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    q_start = iq_of[t] * block_q
+    k_start = kvblk[b, t] * block_k
+
+    def compute(needs_mask):
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        if needs_mask:
+            mask = None
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+                mask = rows >= cols
+            if use_segments:
+                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
+                mask = sm if mask is None else jnp.logical_and(mask, sm)
+            p = jnp.where(mask, p, 0.0)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dq_sc[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(run_f[b, t] == 1)
+    def _():
+        @pl.when(mask_f[b, t] == 1)
+        def _masked():
+            compute(True)
+
+        @pl.when(mask_f[b, t] == 0)
+        def _plain():
+            compute(False)
+
+    @pl.when(last_of[t] == 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = dq_sc[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(
+    ik_of, j_of, last_of, qblk, run_f, mask_f,
+    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_sc, dv_sc,
+    *, scale: float, causal: bool, block_q: int, block_k: int,
+    use_segments: bool, q_per_kv: int,
+):
+    t = pl.program_id(2)
+    g = pl.program_id(3)
+    b = pl.program_id(0)
+
+    @pl.when(jnp.logical_and(j_of[t] == 0, g == 0))
+    def _init():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q_start = qblk[b, t] * block_q
+    k_start = ik_of[t] * block_k
+
+    def compute(needs_mask):
+        q = q_ref[0, 0, :, :]
+        k = k_ref[0, 0, :, :]
+        v = v_ref[0, 0, :, :]
+        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        lse = lse_ref[0, 0, :, :1]
+        delta = delta_ref[0, 0, :, :1]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        p = jnp.exp(s - lse)
+        if needs_mask:
+            mask = None
+            if causal:
+                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+                mask = rows >= cols
+            if use_segments:
+                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
+                mask = sm if mask is None else jnp.logical_and(mask, sm)
+            p = jnp.where(mask, p, 0.0)
+        dv_sc[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta) * scale
+        dk_sc[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+
+    @pl.when(run_f[b, t] == 1)
+    def _():
+        @pl.when(mask_f[b, t] == 1)
+        def _masked():
+            compute(True)
+
+        @pl.when(mask_f[b, t] == 0)
+        def _plain():
+            compute(False)
+
+    @pl.when(jnp.logical_and(last_of[t] == 1, g == q_per_kv - 1))
+    def _finalize():
+        dk_ref[0, 0, :, :] = dk_sc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0, :, :] = dv_sc[:].astype(dv_ref.dtype)
+
+
+def _splash_backward(res, g, *, scale, causal, block_q, block_k,
+                     max_segment_len, interpret, dlse=None):
+    q, k, v, q_seg, kv_seg, out, lse = res
+    do = g
+    B, Hq, S, D = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    q_per_kv = Hq // Hkv
+    nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
+    use_segments = q_seg is not None
+    if use_segments:
+        kv_lo, q_hi = _segment_windows(q_seg, kv_seg, block_q, block_k)
+    else:
+        q_seg = jnp.zeros((B, S), jnp.int32)
+        kv_seg = jnp.zeros((B, Sk), jnp.int32)
+        kv_lo = jnp.zeros((B, nq), jnp.int32)
+        q_hi = jnp.full((B, nk), nq - 1, jnp.int32)
+
+    delta = jnp.einsum("bhsd,bhsd->bhs", do.astype(jnp.float32), out.astype(jnp.float32))
+    if dlse is not None:
+        delta = delta - dlse.astype(jnp.float32)
+    delta = jax.lax.broadcast_in_dim(delta, (B, Hq, S, SUBLANES), (0, 1, 2))
+
+    iq_of, j_of, last_of = _fwd_layout(S, Sk, block_q, block_k, causal,
+                                       max_segment_len, use_segments)
+    T = len(iq_of)
+    kvblk, run_f, mask_f = _fwd_control(q_seg, kv_seg, kv_lo, iq_of, j_of,
+                                        block_q, block_k, causal, use_segments, nq, nk)
+    q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
+
+    def kv_idx(b, h, t, *s):
+        return (b, h // q_per_kv, s[3][b, t], 0)
+
+    def q_idx4(b, h, t, *s):
+        return (b, h, s[0][t], 0)
+
+    dq_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B, Hq, T),
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda b, h, t, *s: (b, s[0][t], 0)),
+            pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, t, *s: (b, 0, s[3][b, t])),
+            pl.BlockSpec((1, 1, block_q, D), q_idx4),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx),
+            pl.BlockSpec((1, 1, block_q, D), q_idx4),
+            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx4),
+            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx4),
+        ],
+        out_specs=[pl.BlockSpec((1, 1, block_q, D), q_idx4)],
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+    )
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale, causal=causal, block_q=block_q,
+                          block_k=block_k, use_segments=use_segments),
+        grid_spec=dq_spec,
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        interpret=interpret,
+    )(iq_of, j_of, last_of, kvblk, run_f, mask_f,
+      q_seg_b, kv_seg_b, q, k, v, do, lse, delta)[0]
+
+    ik_of, jk_of, lastk_of = _dkv_layout(S, Sk, block_q, block_k, causal,
+                                         max_segment_len, use_segments)
+    qblk, runk_f, maskk_f = _dkv_control(q_seg, kv_seg, q_hi, ik_of, jk_of,
+                                         block_q, block_k, causal, use_segments, nq, nk)
+
+    def kv_idx2(b, hk, t, g, *s):
+        return (b, hk, s[0][t], 0)
+
+    def q_idx2(b, hk, t, g, *s):
+        return (b, hk * q_per_kv + g, s[3][b, t], 0)
+
+    dkv_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(B, Hkv, len(ik_of), q_per_kv),
+        in_specs=[
+            pl.BlockSpec((1, block_q, LANES), lambda b, hk, t, g, *s: (b, s[3][b, t], 0)),
+            pl.BlockSpec((1, SUBLANES, block_k), lambda b, hk, t, g, *s: (b, 0, s[0][t])),
+            pl.BlockSpec((1, 1, block_q, D), q_idx2),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
+            pl.BlockSpec((1, 1, block_q, D), q_idx2),
+            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx2),
+            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx2),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
+            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
+                          block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv),
+        grid_spec=dkv_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        interpret=interpret,
+    )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f,
+      q_seg_b, kv_seg_b, q, k, v, do, lse, delta)
+    return dq, dk, dv, None, None
+
+
+# --------------------------------------------------------------- public api
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _splash(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
+            max_segment_len, interpret):
+    out, _ = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
+                             block_k, max_segment_len, interpret)
+    return out
+
+
+def _splash_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
+                max_segment_len, interpret):
+    out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
+                               block_k, max_segment_len, interpret)
+    return out, (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _splash_bwd(scale, causal, block_q, block_k, max_segment_len, interpret, res, g):
+    return _splash_backward(res, g, scale=scale, causal=causal, block_q=block_q,
+                            block_k=block_k, max_segment_len=max_segment_len,
+                            interpret=interpret)
+
+
+_splash.defvjp(_splash_fwd, _splash_bwd)
+
+
+def splash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+    block_q: int = 512,
+    block_k: int = 1024,
+    max_segment_len: Optional[int] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """q: (B, S, Hq, D); k/v: (B, Sk, Hkv, D); segment_ids: (B, S) int32.
+
+    ``max_segment_len``: static upper bound on any packed segment's length
+    (``data.seq_len`` / ``max_length_per_sample`` in the training config).
+    Required for the zero-step segment skipping; without it the kernel still
+    flattens away the causal half.  Passing a bound SMALLER than an actual
+    segment silently truncates attention — the data pipeline guarantees the
+    bound, and ``tests/test_ops/test_splash_attention.py`` pins the contract.
+    """
+    B, S, Hq, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    block_q = min(block_q, S)
+    block_k = min(block_k, k.shape[1])
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out = _splash(qt, kt, vt, segment_ids, segment_ids, scale, causal,
+                  block_q, block_k, max_segment_len, interpret)
+    return out.transpose(0, 2, 1, 3)

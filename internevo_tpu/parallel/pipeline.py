@@ -42,31 +42,34 @@ from ..ops.rotary import apply_rotary, rope_frequencies
 
 
 def _psum_tp(x):
+    """Row-parallel output reduction.  ``jax.lax.psum`` transposes to psum,
+    which is exactly right here: downstream of the (replicated) block output,
+    each tp rank's cotangent is the PARTIAL through its local column shards,
+    and the transpose-psum is the fan-in that sums them."""
     return jax.lax.psum(x, TP)
 
 
 @jax.custom_vjp
-def _sum_grad_over_tp(x):
-    """Identity forward; backward psums the cotangent over tp.
-
-    In sequence-parallel blocks the replicated params (norms, row-linear
-    biases) receive rank-VARYING cotangents (each rank saw only its sequence
-    shard); shard_map's replicated-input convention takes one rank's value, so
-    the partials must be summed explicitly first — Megatron's
-    --sequence-parallel layernorm/bias grad all-reduce, done as a custom VJP.
-    """
-    return x
-
-
-def _sgot_fwd(x):
-    return x, None
+def _psum_replicated_tp(x):
+    """psum over tp with IDENTITY transpose — for sums whose downstream
+    consumption is fully REPLICATED across tp (the vocab-parallel CE head:
+    lse/label-logit assembly).  There each rank's incoming cotangent is
+    already the full cotangent; ``jax.lax.psum``'s transpose-psum would scale
+    every upstream grad by tp.  (Round-1 shipped with that x-tp factor on all
+    pipeline grads — invisible in loss tests because Adam is scale-invariant;
+    pinned now by test_tp_grads_match_baseline.)"""
+    return jax.lax.psum(x, TP)
 
 
-def _sgot_bwd(_, g):
-    return (jax.lax.psum(g, TP),)
+def _psum_rep_fwd(x):
+    return jax.lax.psum(x, TP), None
 
 
-_sum_grad_over_tp.defvjp(_sgot_fwd, _sgot_bwd)
+def _psum_rep_bwd(_, g):
+    return (g,)
+
+
+_psum_replicated_tp.defvjp(_psum_rep_fwd, _psum_rep_bwd)
 
 
 def _local_dense(x, kernel, bias=None):
@@ -89,16 +92,10 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     Residual/norm run on the local seq shard; the pipeline ring then carries
     1/tp of the activation bytes.
     """
-    if seq_parallel:
-        # replicated params see only the local seq shard: sum their cotangents
-        layer = dict(layer)
-        for key in ("norm1", "norm2", "norm1_bias", "norm2_bias"):
-            if key in layer:
-                layer[key] = _sum_grad_over_tp(layer[key])
-        for key in ("out_proj", "w2"):
-            if "bias" in layer[key]:
-                layer[key] = dict(layer[key])
-                layer[key]["bias"] = _sum_grad_over_tp(layer[key]["bias"])
+    # replicated params (norms, row-linear biases) receive rank-varying
+    # cotangents in seq-parallel mode; the shard_map boundary psums cotangents
+    # over unmentioned axes (probed; see _boundary_psum), which IS the Megatron
+    # sequence-parallel layernorm/bias grad all-reduce — no extra hook needed.
     residual = x
     if cfg.residual_in_fp32:
         residual = residual.astype(jnp.float32)
@@ -115,7 +112,8 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
-                          softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True)
+                          softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
+                          max_segment_len=cfg.max_segment_len)
     ctx = ctx.reshape(B, S, -1)
     # row-parallel out_proj: partial matmul + psum (mtp) or reduce-scatter over
     # the sequence (msp); bias added once after the reduction
@@ -216,18 +214,18 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
     valid = lab != -100
     # pmax has no VJP; the row max is a constant in the gradient anyway
     gmax = jax.lax.pmax(jax.lax.stop_gradient(jnp.max(flat, axis=-1)), TP)
-    sumexp = jax.lax.psum(jnp.sum(jnp.exp(flat - gmax[:, None]), axis=-1), TP)
+    sumexp = _psum_replicated_tp(jnp.sum(jnp.exp(flat - gmax[:, None]), axis=-1))
     lse = jnp.log(sumexp) + gmax
 
     local_label = lab - offset
     in_shard = (local_label >= 0) & (local_label < V_local)
     safe = jnp.clip(local_label, 0, V_local - 1)
     picked = jnp.take_along_axis(flat, safe[:, None], axis=-1)[:, 0]
-    label_logit = jax.lax.psum(jnp.where(in_shard, picked, 0.0), TP)
+    label_logit = _psum_replicated_tp(jnp.where(in_shard, picked, 0.0))
     nll = jnp.where(valid, lse - label_logit, 0.0)
     if label_smoothing > 0.0:
         # mean log-prob over the vocab, assembled from the shards
-        sum_lp = jax.lax.psum(jnp.sum(flat, axis=-1), TP) - (V_local * tp) * lse
+        sum_lp = _psum_replicated_tp(jnp.sum(flat, axis=-1)) - (V_local * tp) * lse
         smooth = -sum_lp / (V_local * tp)
         nll = jnp.where(valid, (1 - label_smoothing) * nll + label_smoothing * smooth, 0.0)
     n_valid = jnp.sum(valid)
@@ -482,11 +480,11 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
     - gradients accumulate inside the loop and leave through a custom_vjp, so
       ``jax.grad(loss_fn)`` in the scheduler keeps working unchanged.
     """
-    from ..core.context import DP, ZERO
+    from ..core.context import DP, EP, ZERO
 
     tp = mesh.shape.get(TP, 1)
-    ALL_AXES = (PP, TP, DP, ZERO)
-    BATCH_AXES = (DP, ZERO)
+    ALL_AXES = (PP, TP, DP, EP, ZERO)
+    BATCH_AXES = (DP, EP, ZERO)
     assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
     assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
     seq_parallel = tp_mode in ("msp", "fsp") and tp > 1

@@ -41,7 +41,7 @@ from typing import Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.context import DP, PP, TP, ZERO
+from ..core.context import DP, EP, PP, TP, ZERO
 
 # Unsharded marker
 _R = None
@@ -58,7 +58,7 @@ PARAM_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
         "heads_in": (TP,),   # row-parallel input dim (out_proj, w2)
         "norm": None,
         "layer": None,
-        "expert": (ZERO,),
+        "expert": (EP,),
         "moe_mlp": None,
         "embed_out": (TP,),  # Embedding1D is vocab-full, hidden-split (ref embedding.py:17)
     },
@@ -73,7 +73,7 @@ PARAM_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
         "heads_in": (ZERO, TP),
         "norm": None,
         "layer": None,
-        "expert": (ZERO,),
+        "expert": (EP,),
         "moe_mlp": None,
         "embed_out": (ZERO, TP),
     },
@@ -84,7 +84,7 @@ PARAM_RULES["rsp"] = PARAM_RULES["isp"]  # ring sequence parallel: isp layout + 
 
 ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
     "mtp": {
-        "batch": (DP, ZERO),
+        "batch": (DP, EP, ZERO),
         "seq": None,
         "act_embed": None,
         "act_heads": (TP,),
@@ -92,7 +92,7 @@ ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
         "act_vocab": (TP,),
     },
     "msp": {
-        "batch": (DP, ZERO),
+        "batch": (DP, EP, ZERO),
         "seq": (TP,),        # sequence-sharded between blocks
         "act_embed": None,
         "act_heads": (TP,),
@@ -100,7 +100,7 @@ ACT_RULES: dict[str, dict[str, tuple[str, ...] | None]] = {
         "act_vocab": (TP,),
     },
     "isp": {
-        "batch": (DP, ZERO),
+        "batch": (DP, EP, ZERO),
         "seq": (TP,),        # sequence-sharded everywhere
         "act_embed": None,
         "act_heads": (TP,),  # inside attention after the a2a reshard
@@ -127,9 +127,34 @@ class ShardingRules:
     tp_mode: str = "mtp"
     pipeline_parallel: bool = False
     fsdp: bool = False
+    # isp weight-parallel ways (config parallel.weight.size, reference
+    # Initializer_Weight :643): how many ways isp weight STORAGE shards.
+    # 0 = default full (zero, tp) group; otherwise must be realizable as a
+    # sub-product of the mesh: 1, tp, zero, or zero*tp (hard error else).
+    wp: int = 0
+
+    def weight_storage_axes(self) -> tuple[str, ...]:
+        """Mesh axes realizing parallel.weight.size for isp weight storage."""
+        if self.mesh is None:
+            return (ZERO, TP)
+        z, t = self.mesh.shape.get(ZERO, 1), self.mesh.shape.get(TP, 1)
+        if self.wp in (0, z * t):
+            return (ZERO, TP)
+        if self.wp == t:
+            return (TP,)
+        if self.wp == z:
+            return (ZERO,)
+        if self.wp == 1:
+            return ()
+        raise ValueError(
+            f"parallel.weight.size={self.wp} is not realizable on this mesh: "
+            f"must be one of 1, tp({t}), zero({z}), zero*tp({z * t})")
 
     def param_spec(self, *logical_axes: Optional[str]) -> P:
         rules = PARAM_RULES[self.tp_mode]
+        if self.tp_mode in ("isp", "rsp") and self.wp not in (0,):
+            w_axes = self.weight_storage_axes()
+            rules = {k: (w_axes if v == (ZERO, TP) else v) for k, v in rules.items()}
         return self._resolve(rules, logical_axes)
 
     def act_spec(self, *logical_axes: Optional[str]) -> P:
@@ -187,9 +212,6 @@ class ShardingRules:
         """
         if self.mesh is None:
             return spec
-        zero_size = self.mesh.shape.get(ZERO, 1)
-        if zero_size == 1:
-            return spec
         parts = list(spec) + [None] * (len(shape) - len(spec))
 
         def axes_of(part):
@@ -198,14 +220,22 @@ class ShardingRules:
             return part if isinstance(part, tuple) else (part,)
 
         used = {a for part in parts for a in axes_of(part)}
-        if ZERO in used:
+        # the logical ZeRO group is (ep, zero): expert params (expert dim
+        # already on ep) keep their state on the EXPERT_DATA complement, the
+        # reference's per-group optimizer_mode (hybrid_zero_optim.py:166-174)
+        state_axes = tuple(a for a in (EP, ZERO)
+                           if a not in used and self.mesh.shape.get(a, 1) > 1)
+        if not state_axes:
             return spec
+        zero_size = 1
+        for a in state_axes:
+            zero_size *= self.mesh.shape[a]
         for i, dim in enumerate(shape):
             sharded_ways = 1
             for a in axes_of(parts[i]):
                 sharded_ways *= self.mesh.shape[a]
             if dim % (sharded_ways * zero_size) == 0:
-                parts[i] = axes_of(parts[i]) + (ZERO,)
+                parts[i] = axes_of(parts[i]) + state_axes
                 if len(parts[i]) == 1:
                     parts[i] = parts[i][0]
                 return P(*parts)
@@ -279,9 +309,14 @@ def current_rules_from_context() -> ShardingRules:
     pp = (gpc.sizes.pp > 1) if gpc.sizes else False
     if fsdp:
         assert not pp, "zero1.fsdp requires pp == 1 (reference launch.py constraint)"
-    return ShardingRules(
+    wp = int(gpc.config.get("parallel", {}).get("weight", {}).get("size", 0) or 0) if gpc.config else 0
+    rules = ShardingRules(
         mesh=gpc.mesh,
         tp_mode=gpc.tensor_mode,
         pipeline_parallel=pp,
         fsdp=fsdp,
+        wp=wp if gpc.tensor_mode in ("isp", "rsp") else 0,
     )
+    if rules.wp:
+        rules.weight_storage_axes()  # validate eagerly: fail at launch, not trace
+    return rules

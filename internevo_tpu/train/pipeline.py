@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from ..core.context import DP, ZERO, gpc
+from ..core.context import DP, EP, ZERO, gpc
 from ..core.engine import Engine
 from ..core.scheduler.no_pipeline import make_eval_step, make_train_step
 from ..core.trainer import Trainer, TrainState
@@ -41,6 +41,10 @@ def initialize_model() -> tuple[ModelDef, Any]:
     import internevo_tpu.models  # noqa: F401  (registry population)
 
     model_cfg = dict(gpc.config.model)
+    # packed segments are never longer than data.seq_len (max_length_per_sample):
+    # the bound powers splash attention's static kv-visit budget
+    if "max_segment_len" not in model_cfg and "data" in gpc.config:
+        model_cfg["max_segment_len"] = gpc.config.data.get("seq_len", None)
     # top-level `moe = dict(...)` block (reference 7B_MoE4_sft.py:204) maps onto
     # the ModelConfig moe_* fields
     moe_cfg = gpc.config.get("moe", None)
@@ -178,7 +182,7 @@ def batch_to_device(batch: tuple, micro_num: int) -> dict:
     for k, v in arrays.items():
         v = np.asarray(v).reshape(micro_num, dp_batch, P_len)
         if rules.mesh is not None:
-            sharding = NamedSharding(rules.mesh, P(None, (DP, ZERO)))
+            sharding = NamedSharding(rules.mesh, P(None, (DP, EP, ZERO)))
             out[k] = jax.device_put(v, sharding)
         else:
             out[k] = jnp.asarray(v)

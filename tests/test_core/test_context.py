@@ -7,6 +7,7 @@ derived-size sanity checks (`parallel_context.py:421-520`).
 import textwrap
 
 import jax
+import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
 
@@ -73,12 +74,12 @@ def test_sharding_rules_mtp():
     rules = ShardingRules(mesh=None, tp_mode="mtp")
     assert rules.param_spec("embed", "qkv") == P(None, "tp")
     assert rules.param_spec("heads_in", "embed") == P("tp")
-    assert rules.act_spec("batch", "seq", "act_embed") == P(("dp", "zero"))
+    assert rules.act_spec("batch", "seq", "act_embed") == P(("dp", "ep", "zero"))
 
 
 def test_sharding_rules_msp_seq():
     rules = ShardingRules(mesh=None, tp_mode="msp")
-    assert rules.act_spec("batch", "seq", "act_embed") == P(("dp", "zero"), "tp")
+    assert rules.act_spec("batch", "seq", "act_embed") == P(("dp", "ep", "zero"), "tp")
 
 
 def test_sharding_rules_isp_weights():
@@ -88,3 +89,50 @@ def test_sharding_rules_isp_weights():
     spec = rules.param_spec("mlp", "qkv")
     flat = [a for part in spec if part for a in (part if isinstance(part, tuple) else (part,))]
     assert len(flat) == len(set(flat))
+
+
+def test_isp_weight_size_controls_weight_sharding():
+    """VERDICT r1 item 4: parallel.weight.size must actually change isp weight
+    storage sharding (reference Initializer_Weight :643 / ISPCommunicator)."""
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import initialize_model
+
+    def build(wp):
+        config = dict(
+            model_type="INTERNLM",
+            data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=2),
+            model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
+                       embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                       num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                       norm_type="rmsnorm", layer_norm_epsilon=1e-5),
+            adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                      adam_eps=1e-8, weight_decay=0.01),
+            parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+                          pipeline=dict(size=1), weight=dict(size=wp)),
+        )
+        launch(config, seed=1024, devices=jax.devices()[:4])
+        _model, params = initialize_model()
+        return params["blocks"]["w1"]["kernel"].sharding.spec
+
+    assert build(1) == jax.sharding.PartitionSpec()[:0] or build(1) == jax.sharding.PartitionSpec(), build(1)
+    spec_tp = build(2)   # wp == tp: weights shard over tp only
+    assert "tp" in str(spec_tp) and "zero" not in str(spec_tp), spec_tp
+    spec_full = build(4)  # wp == zero*tp: full weight group
+    assert "zero" in str(spec_full) and "tp" in str(spec_full), spec_full
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="not realizable"):
+        build(3)
+
+
+def test_isp_wp_loss_equivalence():
+    """weight.size is storage layout only — the isp loss curve must not move."""
+    from tests.test_training.test_loss import run_training, demo_config
+
+    losses = {}
+    for wp in (1, 4):
+        cfg = demo_config(parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+                                        pipeline=dict(size=1), weight=dict(size=wp)))
+        losses[wp], _ = run_training(cfg, steps=2, n_devices=4)
+    np.testing.assert_allclose(losses[1], losses[4], rtol=3e-4, atol=3e-5)

