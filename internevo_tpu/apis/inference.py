@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.base import ModelConfig, _dense, _norm, split_qkv
-from ..ops.rotary import apply_rotary, rope_frequencies
+from ..ops.rotary import apply_rotary, dynamic_ntk_frequencies, rope_frequencies
 
 
 @dataclasses.dataclass
@@ -80,7 +80,14 @@ def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
     emb = params["embedding"]["weight"]
     x = jnp.take(emb, input_ids, axis=0).astype(cfg.dtype)
 
-    cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
+    if cfg.use_dynamic_ntk_rope:
+        # decode past the training window rescales the rope base (reference
+        # DynamicNTKScalingRotaryEmbedding, wired when seq > max_position_embeddings)
+        cos, sin = dynamic_ntk_frequencies(
+            positions, cfg.head_dim, cfg.rope_base,
+            cfg.max_position_embeddings, seq_len=cache_index + T)
+    else:
+        cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
 
     def layer_step(h, inputs):
         layer, k_cache_l, v_cache_l = inputs
@@ -181,17 +188,21 @@ class SequenceGenerator:
         finished = np.zeros((B,), bool)
         eos_set = {self.eos_token_id} | self.additional_eos
 
+        V = next_logits.shape[-1]
+        # streaming (B, V) seen-token mask: the repetition penalty runs on
+        # device as one gather-free select (reference loops tokens in python,
+        # inference.py:925 repetition_penalty region)
+        seen_mask = jnp.zeros((B, V), bool)
+        seen_mask = seen_mask.at[jnp.arange(B)[:, None], tokens].set(True)
+        _apply_penalty = jax.jit(
+            lambda lg, seen, p: jnp.where(seen, jnp.where(lg > 0, lg / p, lg * p), lg))
+
         cur = prompt_len
         while cur < max_length:
             step_logits = next_logits / max(temperature, 1e-6)
             if repetition_penalty != 1.0:
-                step_np = np.asarray(step_logits)
-                for b in range(B):
-                    seen = np.unique(out[b, :cur])
-                    pos = step_np[b, seen] > 0
-                    step_np[b, seen] = np.where(pos, step_np[b, seen] / repetition_penalty,
-                                                step_np[b, seen] * repetition_penalty)
-                step_logits = jnp.asarray(step_np)
+                step_logits = _apply_penalty(step_logits, seen_mask,
+                                             jnp.float32(repetition_penalty))
             if do_sample:
                 step_logits = top_k_top_p_filtering(step_logits, top_k=top_k, top_p=top_p)
                 rng, sub = jax.random.split(rng)
@@ -201,6 +212,8 @@ class SequenceGenerator:
             next_np = np.asarray(next_tok)
             next_np = np.where(finished, self.pad_token_id, next_np)
             out[:, cur] = next_np
+            if repetition_penalty != 1.0:
+                seen_mask = seen_mask.at[jnp.arange(B), jnp.asarray(next_np)].set(True)
             finished |= np.isin(next_np, list(eos_set))
             if finished.all():
                 cur += 1
@@ -228,21 +241,24 @@ class SequenceGenerator:
         penalty at finalization."""
         tokens = jnp.asarray(tokens, jnp.int32)
         B, prompt_len = tokens.shape
-        assert B == 1, "beam search currently supports batch size 1"
-        beams = jnp.repeat(tokens, num_beams, axis=0)
+        nb = num_beams
+        # beams live flattened as (B * nb) rows; beam group b occupies rows
+        # [b*nb, (b+1)*nb) (reference batched beam, inference.py:560+)
+        beams = jnp.repeat(tokens, nb, axis=0)
 
-        kv_cache = init_kv_cache(self.cfg, num_beams, max_length)
+        kv_cache = init_kv_cache(self.cfg, B * nb, max_length)
         logits, kv_cache = self._decode_jit(self.params, beams, kv_cache, jnp.zeros((), jnp.int32))
         logp = jax.nn.log_softmax(logits[:, -1, :] / max(temperature, 1e-6), axis=-1)
 
         V = logp.shape[-1]
-        # first expansion: all beams share the prompt, pick top num_beams tokens
-        top_lp, top_tok = jax.lax.top_k(logp[0], num_beams)
-        out = np.full((num_beams, max_length), self.pad_token_id, np.int32)
+        # first expansion: beams within a group share the prompt; take each
+        # group's top nb tokens from its first beam
+        top_lp, top_tok = jax.lax.top_k(logp[::nb], nb)      # (B, nb)
+        out = np.full((B * nb, max_length), self.pad_token_id, np.int32)
         out[:, :prompt_len] = np.asarray(beams)
-        out[:, prompt_len] = np.asarray(top_tok)
-        scores = np.asarray(top_lp, np.float64)
-        finished = np.zeros(num_beams, bool)
+        out[:, prompt_len] = np.asarray(top_tok).reshape(-1)
+        scores = np.asarray(top_lp, np.float64).reshape(B, nb)
+        finished = np.zeros((B, nb), bool)
         eos_set = {self.eos_token_id} | self.additional_eos
 
         cur = prompt_len + 1
@@ -250,21 +266,28 @@ class SequenceGenerator:
             logits, kv_cache = self._decode_jit(
                 self.params, jnp.asarray(out[:, cur - 1 : cur]), kv_cache,
                 jnp.asarray(cur - 1, jnp.int32))
-            logp = np.asarray(jax.nn.log_softmax(logits[:, -1, :] / max(temperature, 1e-6), axis=-1))
-            total = scores[:, None] + np.where(finished[:, None], -1e9, logp)
-            total[finished, self.pad_token_id] = scores[finished]  # frozen beams persist
-            flat = total.reshape(-1)
-            best = np.argsort(flat)[::-1][:num_beams]
-            beam_idx, tok_idx = best // V, best % V
+            logp = np.asarray(jax.nn.log_softmax(
+                logits[:, -1, :] / max(temperature, 1e-6), axis=-1)).reshape(B, nb, V)
+            total = scores[:, :, None] + np.where(finished[:, :, None], -1e9, logp)
+            # frozen beams persist with their score via a single pad candidate
+            b_i, k_i = np.nonzero(finished)
+            total[b_i, k_i, self.pad_token_id] = scores[b_i, k_i]
+            flat = total.reshape(B, nb * V)
+            best = np.argsort(flat, axis=1)[:, ::-1][:, :nb]          # (B, nb)
+            beam_loc, tok_idx = best // V, best % V
+            beam_idx = (np.arange(B)[:, None] * nb + beam_loc).reshape(-1)
             out = out[beam_idx]
-            out[:, cur] = np.where(finished[beam_idx], self.pad_token_id, tok_idx)
-            scores = flat[best]
-            finished = finished[beam_idx] | np.isin(tok_idx, list(eos_set))
-            # caches are (L, B, S, H, D): beams live on axis 1
+            tok_flat = tok_idx.reshape(-1)
+            fin_flat = finished.reshape(-1)[beam_idx]
+            out[:, cur] = np.where(fin_flat, self.pad_token_id, tok_flat)
+            scores = np.take_along_axis(flat, best, axis=1)
+            finished = (fin_flat | np.isin(tok_flat, list(eos_set))).reshape(B, nb)
+            # caches are (L, B*nb, S, H, D): beams live on axis 1
             kv_cache = jax.tree.map(lambda c: jnp.take(c, jnp.asarray(beam_idx), axis=1), kv_cache)
             cur += 1
 
-        lengths = np.array([(out[i] != self.pad_token_id).sum() for i in range(num_beams)])
+        lengths = (out != self.pad_token_id).sum(axis=1).reshape(B, nb)
         final = scores / (lengths.astype(np.float64) ** length_penalty)
-        best_beam = int(np.argmax(final))
-        return jnp.asarray(out[best_beam : best_beam + 1, :cur])
+        best_beam = np.argmax(final, axis=1)                           # (B,)
+        rows = np.arange(B) * nb + best_beam
+        return jnp.asarray(out[rows, :cur])

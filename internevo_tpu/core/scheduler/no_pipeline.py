@@ -106,6 +106,7 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "grad_norm": stats["grad_norm"],
+            "grad_norm_groups": stats["grad_norm_groups"],
             "found_inf": stats["found_inf"],
             "loss_scale": stats["loss_scale"],
             "num_skipped": stats["num_skipped"],

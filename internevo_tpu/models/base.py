@@ -59,6 +59,10 @@ class ModelConfig:
     max_position_embeddings: int = 2048
     dtype: Any = jnp.bfloat16
     checkpoint: float = 0.0          # fraction of layers fully rematerialized
+    # offload the saved attention context of checkpointed layers to host
+    # memory instead of keeping it in HBM (reference activation_checkpoint.py
+    # :40-272 CPU-offload path); trades PCIe/DMA bandwidth for HBM headroom
+    activation_offload: bool = False
     layer_norm_epsilon: float = 1e-5
     embed_grad_scale: float = 0.1
     parallel_output: bool = True
@@ -449,7 +453,15 @@ def model_forward(
     # NB: save_only_these_names("flash_ctx") would avoid re-running the fwd
     # attention kernel in backward, but it inflates XLA compile time >3x on the
     # remote-compile path — measured on v5e; revisit when compiles are local.
-    full = make_scan(lambda l, h: block_fn(l, h), None)
+    full_policy = None
+    if cfg.activation_offload:
+        # keep the attention context, but in HOST memory (the reference's
+        # activation-offload mode): backward re-runs everything except the
+        # flash kernel, whose context streams back over DMA
+        full_policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+            names_which_can_be_saved=[], names_which_can_be_offloaded=["flash_ctx"],
+            offload_src="device", offload_dst="pinned_host")
+    full = make_scan(lambda l, h: block_fn(l, h), full_policy)
     light = make_scan(
         lambda l, h: block_fn(l, h),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,

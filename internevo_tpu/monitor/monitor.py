@@ -32,6 +32,27 @@ def send_feishu_msg_with_webhook(webhook: str, title: str, message: str):
     logger.warning("[ALERT] %s: %s (webhook=%s)", title, message, webhook)
 
 
+_HEARTBEAT_EVERY = 50  # steps (reference light-monitor cadence, monitor/alert.py:16-90)
+_last_heartbeat_step = -1
+
+
+def send_heartbeat(msg_type: str, info: dict, step: Optional[int] = None,
+                   every: int = _HEARTBEAT_EVERY) -> bool:
+    """Light-monitor heartbeat (reference ``monitor/alert.py:16-90`` posts a
+    {job, type, info} payload every 50 steps; ``train/pipeline.py:599-600``).
+    Zero-egress environment: the payload goes to the log at the same cadence;
+    returns True when a heartbeat fired (so tests can pin the cadence)."""
+    global _last_heartbeat_step
+    if step is not None:
+        if step % every != 0 or step == _last_heartbeat_step:
+            return False
+        _last_heartbeat_step = step
+    payload = {"job_name": os.environ.get("JOB_NAME", "internevo_tpu"),
+               "msg_type": msg_type, "step": step, **info}
+    logger.info("heartbeat %s", payload)
+    return True
+
+
 def send_alert_message(address: Optional[str] = None, title: str = "internevo_tpu", message: str = ""):
     if address:
         send_feishu_msg_with_webhook(address, title, message)

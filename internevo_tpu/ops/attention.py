@@ -101,9 +101,65 @@ def flash_attention(
     blocks entirely; optional — None still gets causal flattening.
     """
     if use_pallas():
-        from .pallas.splash_attention import splash_attention
-
-        return splash_attention(q, k, v, segment_ids=segment_ids,
-                                softmax_scale=softmax_scale, causal=causal,
-                                max_segment_len=max_segment_len)
+        return _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_len)
     return attention_reference(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)
+
+
+def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_len):
+    """Run the splash kernel, shard_map-wrapped when a multi-device mesh is
+    active: Mosaic kernels cannot be auto-partitioned by GSPMD, so the GSPMD
+    path gets an explicit manual island sharded over (batch x heads); inside
+    the manual-TP pipeline (already a shard_map) the kernel runs directly on
+    the local arrays."""
+    from functools import partial
+
+    from jax.sharding import PartitionSpec as P
+
+    from .pallas.splash_attention import splash_attention
+
+    kernel = partial(splash_attention, softmax_scale=softmax_scale, causal=causal,
+                     max_segment_len=max_segment_len)
+
+    def direct(q, k, v, seg):
+        return kernel(q, k, v, segment_ids=seg)
+
+    from ..parallel.sharding import get_rules
+
+    rules = get_rules()
+    mesh = rules.mesh
+    from jax._src import core as _core
+
+    under_manual = _core.get_axis_env().axis_sizes  # inside shard_map already
+    if mesh is None or under_manual or all(s == 1 for s in mesh.shape.values()):
+        return direct(q, k, v, segment_ids)
+
+    from ..core.context import DP, EP, TP, ZERO
+
+    B, Hq, Hkv = q.shape[0], q.shape[2], k.shape[2]
+    tp = mesh.shape.get(TP, 1)
+    batch_axes, ways = [], 1
+    for a in (DP, EP, ZERO):
+        n = mesh.shape.get(a, 1)
+        if n > 1 and B % (ways * n) == 0:
+            batch_axes.append(a)
+            ways *= n
+    batch_axes = tuple(batch_axes)
+    # heads shard over tp only when both q and kv head counts divide; otherwise
+    # the island gathers over tp (correct, memory-heavier — only the
+    # GSPMD isp path with tp > kv_heads lands here)
+    tp_ok = tp > 1 and Hq % tp == 0 and Hkv % tp == 0
+    head_ax = TP if tp_ok else None
+    qkv_spec = P(batch_axes if batch_axes else None, None, head_ax, None)
+    seg_spec = P(batch_axes if batch_axes else None, None)
+    # Mosaic rejects lowering inside a partially-manual region: the island
+    # must claim every mesh axis (size-1 axes included)
+    axis_names = set(mesh.axis_names)
+    if segment_ids is None:
+        sm = jax.shard_map(lambda q, k, v: direct(q, k, v, None), mesh=mesh,
+                           in_specs=(qkv_spec,) * 3, out_specs=qkv_spec,
+                           axis_names=axis_names, check_vma=False)
+        return sm(q, k, v)
+    sm = jax.shard_map(direct, mesh=mesh,
+                       in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec),
+                       out_specs=qkv_spec, axis_names=axis_names, check_vma=False)
+    return sm(q, k, v, segment_ids)

@@ -46,6 +46,22 @@ def dynamic_ntk_base(seq_len: int, dim: int, base: float, max_position_embedding
     return base * alpha ** (dim / (dim - 2))
 
 
+def dynamic_ntk_frequencies(positions, dim: int, base: float,
+                            max_position_embeddings: int, seq_len,
+                            scaling_factor: float = 1.0):
+    """Traced-seqlen variant for jitted decode: NTK-rescale the base once the
+    live sequence exceeds the training window, identity below it
+    (``DynamicNTKScalingRotaryEmbedding``, ``embedding.py:420``; the reference
+    also leaves previously cached k rotated with the older base)."""
+    seq_len = jnp.asarray(seq_len, jnp.float32)
+    alpha = scaling_factor * seq_len / max_position_embeddings - (scaling_factor - 1)
+    scaled = base * jnp.maximum(alpha, 1.0) ** (dim / (dim - 2))
+    eff_base = jnp.where(seq_len > max_position_embeddings, scaled, base)
+    inv_freq = 1.0 / (eff_base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    return jnp.cos(freqs), jnp.sin(freqs)
+
+
 def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array, rotary_dim: int | None = None) -> jax.Array:
     """Apply NeoX-style rotary to the first ``rotary_dim`` features of x.
 

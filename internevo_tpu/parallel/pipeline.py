@@ -22,8 +22,9 @@ The TPU-native replacement for the reference's 1F1B schedulers
 - No shape-metadata exchange (static shapes) and no warmup/cooldown special
   cases (the clip/where indexing covers fill and drain).
 
-Requires num_kv_heads % tp == 0 (same constraint as the reference before its
-GQA grad-sync patch, ``Initializer_GQA``).
+When tp > num_kv_heads, kv weights replicate within each g = tp/kv_heads rank
+group and their grads sum at the shard_map boundary — the reference's
+``Initializer_GQA`` patch (``process_group_initializer.py:857-934``).
 """
 
 from __future__ import annotations
@@ -105,9 +106,17 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     B, S, H = h.shape
 
     # column-parallel fused wqkv: local kv-groups over the FULL sequence
-    qkv = _local_dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
-    local_cfg = _local_head_cfg(cfg, tp)
-    q, k, v = split_qkv(local_cfg, qkv)
+    if cfg.num_kv_attention_heads % tp == 0:
+        qkv = _local_dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+        local_cfg = _local_head_cfg(cfg, tp)
+        q, k, v = split_qkv(local_cfg, qkv)
+    else:
+        # GQA group (tp > kv_heads): wqkv arrives TP-REPLICATED; each rank
+        # slices its q-head range and the kv head its group shares.  The
+        # boundary psum of the replicated wqkv cotangent then sums the g
+        # overlapping kv slices — the reference's Initializer_GQA kv-grad
+        # all-reduce (process_group_initializer.py:857-934) as a transpose.
+        q, k, v = _gqa_group_qkv(cfg, tp, layer["wqkv"], h)
     cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
@@ -141,6 +150,42 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     # with residual_in_fp32 the fp32 stream persists across the stage's layers;
     # stage boundaries downcast for the p2p transfer (half the ICI bytes)
     return (mlp_out + residual).astype(jnp.float32 if cfg.residual_in_fp32 else cfg.dtype)
+
+
+def _gqa_group_qkv(cfg: ModelConfig, tp: int, wqkv: dict, h):
+    """Per-rank qkv slices from a TP-replicated packed wqkv when tp > kv_heads.
+
+    With g = tp // kv_heads ranks per kv head and nq_loc = Hq // tp local q
+    heads, rank r owns q heads [r*nq_loc, (r+1)*nq_loc) (globally contiguous,
+    so the row-sharded out_proj layout is unchanged) and kv head r // g
+    (replicated within the g-rank GQA group)."""
+    Hkv, qpk, D = cfg.num_kv_attention_heads, cfg.q_per_kv, cfg.head_dim
+    Hq = cfg.num_attention_heads
+    assert tp % Hkv == 0 and Hq % tp == 0, (Hq, Hkv, tp)
+    g = tp // Hkv
+    nq_loc = Hq // tp
+    r = jax.lax.axis_index(TP)
+    H = h.shape[-1]
+    kern = wqkv["kernel"].reshape(H, Hkv, qpk + 2, D)
+    grp = jax.lax.dynamic_index_in_dim(kern, r // g, 1, keepdims=False)  # (H, qpk+2, D)
+    wq = jax.lax.dynamic_slice_in_dim(grp, (r % g) * nq_loc, nq_loc, axis=1)
+    wk = grp[:, qpk : qpk + 1]
+    wv = grp[:, qpk + 1 :]
+
+    def project(w):
+        n = w.shape[1]
+        y = jnp.dot(h, w.reshape(H, n * D).astype(h.dtype))
+        return y.reshape(*h.shape[:-1], n, D)
+
+    q, k, v = project(wq), project(wk), project(wv)
+    if "bias" in wqkv:
+        bias = wqkv["bias"].reshape(Hkv, qpk + 2, D)
+        bgrp = jax.lax.dynamic_index_in_dim(bias, r // g, 0, keepdims=False)
+        bq = jax.lax.dynamic_slice_in_dim(bgrp, (r % g) * nq_loc, nq_loc, axis=0)
+        q = q + bq.astype(q.dtype)
+        k = k + bgrp[qpk : qpk + 1].astype(k.dtype)
+        v = v + bgrp[qpk + 1 :].astype(v.dtype)
+    return q, k, v
 
 
 def _local_head_cfg(cfg: ModelConfig, tp: int):
@@ -268,7 +313,10 @@ def _gpipe_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0
     shard_map.  Retained for the interleaved (num_chunks > 1) schedule."""
     tp = mesh.shape.get(TP, 1)
     C = num_chunks
-    assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
+    gqa_rep = cfg.num_kv_attention_heads % tp != 0
+    if gqa_rep:
+        assert tp % cfg.num_kv_attention_heads == 0 and cfg.num_attention_heads % tp == 0, \
+            (cfg.num_attention_heads, cfg.num_kv_attention_heads, tp)
     assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
     seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
 
@@ -381,7 +429,7 @@ def _gpipe_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0
             layer_idx = jnp.asarray(
                 [v * Lg + i for v in group_order for i in range(Lg)], jnp.int32)
             blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
-        bs = _block_pspecs(blocks)
+        bs = _block_pspecs(blocks, gqa_rep)
         norm_bias = params.get("norm_bias")
         sm = jax.shard_map(
             stage_fn,
@@ -407,19 +455,21 @@ def _gpipe_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0
 
     return loss_fn
 
-def _block_pspecs(blocks) -> dict:
+def _block_pspecs(blocks, gqa_replicated: bool = False) -> dict:
     """PartitionSpecs for the per-stage block stack: layer dim over pp;
     column-parallel output dims over tp; row-parallel input dims over tp —
-    mirrors the GSPMD param specs (sharding.py)."""
+    mirrors the GSPMD param specs (sharding.py).  ``gqa_replicated`` (tp >
+    kv_heads) keeps wqkv TP-replicated; ranks slice their q/kv heads in
+    ``_gqa_group_qkv``."""
     bs = {}
     bs["norm1"] = P(PP)
     bs["norm2"] = P(PP)
     if "norm1_bias" in blocks:
         bs["norm1_bias"] = P(PP)
         bs["norm2_bias"] = P(PP)
-    bs["wqkv"] = {"kernel": P(PP, None, TP)}
+    bs["wqkv"] = {"kernel": P(PP) if gqa_replicated else P(PP, None, TP)}
     if "bias" in blocks["wqkv"]:
-        bs["wqkv"]["bias"] = P(PP, TP)
+        bs["wqkv"]["bias"] = P(PP) if gqa_replicated else P(PP, TP)
     bs["out_proj"] = {"kernel": P(PP, TP, None)}
     if "bias" in blocks["out_proj"]:
         bs["out_proj"]["bias"] = P(PP)
@@ -485,7 +535,10 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
     tp = mesh.shape.get(TP, 1)
     ALL_AXES = (PP, TP, DP, EP, ZERO)
     BATCH_AXES = (DP, EP, ZERO)
-    assert cfg.num_kv_attention_heads % tp == 0, (cfg.num_kv_attention_heads, tp)
+    gqa_rep = cfg.num_kv_attention_heads % tp != 0
+    if gqa_rep:
+        assert tp % cfg.num_kv_attention_heads == 0 and cfg.num_attention_heads % tp == 0, \
+            (cfg.num_attention_heads, cfg.num_kv_attention_heads, tp)
     assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
     seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
 
@@ -621,7 +674,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         # grads: cast to param dtype (the reference reduces bf16 buffers), then
         # psum over every axis the in_spec replicates on — dp/zero (the data-
         # parallel grad all-reduce) and pp/tp for shared params
-        bs = _block_pspecs(blocks)
+        bs = _block_pspecs(blocks, gqa_rep)
         cs = {"embedding": P(None, TP), "norm": P(), "head": P(None, TP)}
         if norm_bias is not None:
             cs["norm_bias"] = P()
@@ -641,7 +694,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
 
     def run(params, batch):
         blocks = params["blocks"]
-        bs = _block_pspecs(blocks)
+        bs = _block_pspecs(blocks, gqa_rep)
         norm_bias = params.get("norm_bias")
         nb_spec = P()
         batch_spec = P(None, BATCH_AXES)

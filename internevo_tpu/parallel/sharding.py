@@ -239,6 +239,13 @@ class ShardingRules:
                 if len(parts[i]) == 1:
                     parts[i] = parts[i][0]
                 return P(*parts)
+        # no dim divides: the state stays replicated — log it (was silent in
+        # round 1; at 7B/zero=16 some tensors quietly replicated, VERDICT w9)
+        import logging
+
+        logging.getLogger(__name__).info(
+            "optimizer state replicated over %s for param %s (no dim of %s divisible)",
+            state_axes, spec, shape)
         return spec
 
     def zero_shard_specs(self, param_specs, params):

@@ -71,6 +71,31 @@ def init_optimizer_state(params, scaler_cfg: GradScalerConfig | None = None) -> 
     }
 
 
+def param_group_of(path: str) -> str:
+    """Reference optimizer param groups (``train/utils.py:11-84`` /
+    ``create_param_groups``): ``embed_head`` (embedding + output head, the
+    IS_TENSOR_DATA_PARALLEL group), ``fp32`` (norm weights kept in fp32),
+    ``moe`` (expert-parallel params), ``default`` (everything else)."""
+    if "moe" in path:
+        return "moe"
+    if "embedding" in path or "head" in path:
+        return "embed_head"
+    if "norm" in path:
+        return "fp32"
+    return "default"
+
+
+def param_group_norms(tree) -> dict:
+    """Per-group L2 grad norms — the reference's per-step ``grad_norm`` dict
+    (``hybrid_zero_optim.py:598-645`` computes one norm per param group and
+    ``record_current_batch_training_metrics`` logs the dict)."""
+    sums: dict[str, list] = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        group = param_group_of(jax.tree_util.keystr(path))
+        sums.setdefault(group, []).append(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+    return {g: jnp.sqrt(jnp.sum(jnp.stack(v))) for g, v in sums.items()}
+
+
 def global_norm(tree) -> jax.Array:
     """L2 norm over the whole grad tree, fp32 accumulation.
 
@@ -106,6 +131,7 @@ def optimizer_step(
 
     grads_f32 = jax.tree.map(lambda g: g.astype(jnp.float32) / scale, grads)
     norm = global_norm(grads_f32)
+    group_norms = param_group_norms(grads_f32)  # pre-clip, like the reference
     found_inf = ~jnp.isfinite(norm)
 
     clip_coef = jnp.minimum(1.0, adam_cfg.clip_grad_norm / (norm + 1e-6))
@@ -168,6 +194,7 @@ def optimizer_step(
     }
     stats = {
         "grad_norm": norm,
+        "grad_norm_groups": group_norms,
         "found_inf": found_inf,
         "loss_scale": scale,
         "num_skipped": new_state["num_skipped"],

@@ -237,6 +237,10 @@ def record_current_batch_training_metrics(
     tgs_stat["last_tgs_10"].append(tgs)
     tgs_stat["last_tgs_50"].append(tgs)
 
+    # per-param-group norms: the reference logs a grad_norm dict each step
+    # (hybrid_zero_optim.py:598-645, record_current_batch_training_metrics)
+    group_norms = {k: float(v) for k, v in metrics.get("grad_norm_groups", {}).items()}
+    gn_str = " ".join(f"{k}={v:.5f}" for k, v in sorted(group_norms.items()))
     line = (
         f"tflops={tflops:.2f} step={batch_count} loss={loss:.5f} "
         f"tgs(tokens/gpu/second)={tgs:.2f} tgs_avg={np.mean(tgs_stat['last_tgs_10']):.2f} "
@@ -244,13 +248,21 @@ def record_current_batch_training_metrics(
         f"grad_norm={grad_norm:.5f} acc={float(metrics.get('acc', 0)):.4f} "
         f"perplexity={float(metrics.get('perplexity', 0)):.3f} "
         f"real_tokens={n_tokens} "
+        + (f"grad_norm_groups=[{gn_str}] " if gn_str else "")
     )
     logger_obj.info(line)
+    # light-monitor heartbeat every 50 steps (ref train/pipeline.py:599-600)
+    from ..monitor.monitor import send_heartbeat
+
+    send_heartbeat("TRAIN_METRICS", {"loss": loss, "tgs": round(tgs, 1),
+                                     "tflops": round(tflops, 1)}, step=batch_count)
     if writer is not None:
         writer.add_scalar("train/loss", loss, batch_count)
         writer.add_scalar("train/tgs", tgs, batch_count)
         writer.add_scalar("train/lr", engine.current_lr, batch_count)
         writer.add_scalar("train/grad_norm", grad_norm, batch_count)
+        for k, v in group_norms.items():
+            writer.add_scalar(f"train/grad_norm/{k}", v, batch_count)
 
 
 def get_tflops_func_builder(checkpoint_fraction: float = None):

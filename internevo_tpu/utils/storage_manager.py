@@ -1,17 +1,25 @@
 """Storage manager: URI-prefixed backends with async upload.
 
 Parity: reference ``internlm/utils/storage_manager.py`` — ``StorageManager``
-(:984) with ``local:``, ``boto3:``, ``volc:``, ``oss2:`` backends, async upload
-via tmp-staging + thread pool, and a ``wait()`` barrier before the next save.
-This environment is zero-egress, so only the local backend is functional; the
-cloud backends raise with a clear message but keep the URI-routing surface.
+(:984) with ``local:``, ``boto3:s3://``, ``volc:vc://``, ``oss2:ali://``
+backends, async upload via tmp staging + thread pool (:1002-1021), md5
+integrity for async uploads (:304), and a ``wait()`` barrier before the next
+save (:1136+).
+
+This environment is zero-egress, so the cloud backends run against a
+filesystem-emulated object store (bucket -> directory under
+``IEVO_OBJECT_STORE_ROOT``): the URI routing, async staging, upload queue and
+md5 verification all execute for real — only the wire protocol is replaced.
+Without the env var the cloud backends raise with a clear message.
 """
 
 from __future__ import annotations
 
 import concurrent.futures
+import hashlib
 import os
 import shutil
+import tempfile
 from typing import Optional
 
 from .logger import get_logger
@@ -53,14 +61,82 @@ class LocalClient:
 
 def _unsupported(backend: str):
     raise NotImplementedError(
-        f"storage backend '{backend}' requires network credentials not available "
-        f"in this environment; use 'local:' paths"
+        f"storage backend '{backend}' has no credentials in this zero-egress "
+        f"environment; set IEVO_OBJECT_STORE_ROOT to run it against the "
+        f"filesystem-emulated object store, or use 'local:' paths"
     )
+
+
+class ObjectStoreClient:
+    """Emulated boto3/volc/oss2 client: bucket/key -> file under a root dir.
+
+    Mirrors the reference clients' behavior (``storage_manager.py:304,:984-1135``):
+    uploads are staged (serialize to tmp, then 'upload'), an md5 sidecar is
+    written with each object and verified on download.
+    """
+
+    SCHEMES = {"boto3": "s3://", "volc": "vc://", "oss2": "ali://"}
+
+    def __init__(self, backend: str):
+        root = os.environ.get("IEVO_OBJECT_STORE_ROOT")
+        if root is None:
+            _unsupported(backend)
+        self.backend = backend
+        self.root = os.path.join(root, backend)
+
+    def _object_path(self, rest: str) -> str:
+        scheme = self.SCHEMES[self.backend]
+        if not rest.startswith(scheme):
+            raise ValueError(f"{self.backend}: expected '{scheme}…', got {rest!r}")
+        return os.path.join(self.root, rest[len(scheme):])
+
+    @staticmethod
+    def _md5(path: str) -> str:
+        h = hashlib.md5()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    def upload(self, staged_file: str, rest: str):
+        dst = self._object_path(rest)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(staged_file, dst)
+        with open(dst + ".md5", "w") as f:
+            f.write(self._md5(dst))
+        os.remove(staged_file)
+
+    def load(self, rest: str):
+        import pickle
+
+        src = self._object_path(rest)
+        md5_fp = src + ".md5"
+        if os.path.exists(md5_fp):
+            expect = open(md5_fp).read().strip()
+            actual = self._md5(src)
+            if actual != expect:
+                raise IOError(f"md5 mismatch for {rest}: {actual} != {expect}")
+        with open(src, "rb") as f:
+            return pickle.load(f)
+
+    def get_fns(self, rest: str):
+        d = self._object_path(rest)
+        return [fn for fn in LocalClient.get_fns(d) if not fn.endswith(".md5")]
+
+    def delete_obj(self, rest: str):
+        LocalClient.delete_obj(self._object_path(rest))
+        LocalClient.delete_obj(self._object_path(rest) + ".md5")
 
 
 class StorageManager:
     """Routes URI-prefixed paths (``local:/path``, ``boto3:s3://..`` etc.) and
-    runs async uploads on a small thread pool."""
+    runs async uploads on a small thread pool.
+
+    Async cloud saves follow the reference's two-phase protocol
+    (:1002-1021): serialize synchronously into the staging folder
+    (``/dev/shm`` when available), enqueue the upload, ``wait()`` barriers
+    before the next save.
+    """
 
     BACKENDS = ("local", "boto3", "volc", "oss2")
 
@@ -68,9 +144,12 @@ class StorageManager:
                  async_upload_tmp_folder: Optional[str] = None):
         self.enable_save = enable_save
         self.async_upload = async_upload
-        self.tmp_folder = async_upload_tmp_folder
+        self.tmp_folder = async_upload_tmp_folder or (
+            "/dev/shm/ievo_staging" if os.path.isdir("/dev/shm") else
+            os.path.join(tempfile.gettempdir(), "ievo_staging"))
         self._pool = concurrent.futures.ThreadPoolExecutor(max_workers=4) if async_upload else None
         self._futures: list[concurrent.futures.Future] = []
+        self._clients: dict[str, ObjectStoreClient] = {}
 
     @staticmethod
     def _parse(path: str) -> tuple[str, str]:
@@ -79,33 +158,54 @@ class StorageManager:
             return backend, rest
         return "local", path
 
+    def _client(self, backend: str) -> ObjectStoreClient:
+        if backend not in self._clients:
+            self._clients[backend] = ObjectStoreClient(backend)
+        return self._clients[backend]
+
+    def _stage(self, obj) -> str:
+        import pickle
+
+        os.makedirs(self.tmp_folder, exist_ok=True)
+        fd, fp = tempfile.mkstemp(dir=self.tmp_folder, suffix=".staged")
+        with os.fdopen(fd, "wb") as f:
+            pickle.dump(obj, f)
+        return fp
+
     def save(self, path: str, obj, async_upload: Optional[bool] = None):
         backend, fp = self._parse(path)
-        if backend != "local":
-            _unsupported(backend)
         use_async = self.async_upload if async_upload is None else async_upload
+        if backend == "local":
+            if use_async and self._pool is not None:
+                self._futures.append(self._pool.submit(LocalClient.save, fp, obj))
+            else:
+                LocalClient.save(fp, obj)
+            return
+        client = self._client(backend)
+        staged = self._stage(obj)  # serialize NOW; upload later (ref :1002-1021)
         if use_async and self._pool is not None:
-            self._futures.append(self._pool.submit(LocalClient.save, fp, obj))
+            self._futures.append(self._pool.submit(client.upload, staged, fp))
         else:
-            LocalClient.save(fp, obj)
+            client.upload(staged, fp)
 
     def load(self, path: str):
         backend, fp = self._parse(path)
-        if backend != "local":
-            _unsupported(backend)
-        return LocalClient.load(fp)
+        if backend == "local":
+            return LocalClient.load(fp)
+        return self._client(backend).load(fp)
 
     def get_fns(self, path: str):
         backend, fp = self._parse(path)
-        if backend != "local":
-            _unsupported(backend)
-        return LocalClient.get_fns(fp)
+        if backend == "local":
+            return LocalClient.get_fns(fp)
+        return self._client(backend).get_fns(fp)
 
     def delete_obj(self, path: str):
         backend, fp = self._parse(path)
-        if backend != "local":
-            _unsupported(backend)
-        LocalClient.delete_obj(fp)
+        if backend == "local":
+            LocalClient.delete_obj(fp)
+        else:
+            self._client(backend).delete_obj(fp)
 
     def wait(self):
         """Barrier: block until all queued async uploads finish (ref :1136+)."""

@@ -117,3 +117,60 @@ def test_beam_search_generate():
     beam1 = gen.beam_search_generate(prompt, num_beams=1, max_length=10)
     greedy = gen.generate(prompt, max_length=10, do_sample=False)
     np.testing.assert_array_equal(np.asarray(beam1), np.asarray(greedy))
+
+
+def _make_gen():
+    from internevo_tpu.models.base import ModelDef
+
+    cfg, params = _model()
+    model = ModelDef(config=cfg, init=lambda r: params, apply=None)
+    return SequenceGenerator((model, params), eos_token_id=-1)
+
+
+def test_beam_search_batched():
+    """Batched beam search (reference inference.py:560+ supports B > 1):
+    per-batch beam groups must be independent — batching two prompts gives
+    the same outputs as running them separately."""
+    gen = _make_gen()
+    p1 = jnp.asarray([[1, 5, 9]], jnp.int32)
+    p2 = jnp.asarray([[1, 7, 3]], jnp.int32)
+    sep1 = np.asarray(gen.beam_search_generate(p1, num_beams=3, max_length=12))
+    sep2 = np.asarray(gen.beam_search_generate(p2, num_beams=3, max_length=12))
+    both = np.asarray(gen.beam_search_generate(jnp.concatenate([p1, p2]), num_beams=3, max_length=12))
+    np.testing.assert_array_equal(both[0, : sep1.shape[1]], sep1[0])
+    np.testing.assert_array_equal(both[1, : sep2.shape[1]], sep2[0])
+
+
+def test_repetition_penalty_device_side():
+    """Penalty must demote already-emitted tokens without a host loop."""
+    gen = _make_gen()
+    prompt = jnp.asarray([[1, 5, 9]], jnp.int32)
+    out_plain = np.asarray(gen.generate(prompt, max_length=16, do_sample=False))
+    out_pen = np.asarray(gen.generate(prompt, max_length=16, do_sample=False,
+                                      repetition_penalty=5.0))
+    # outputs are valid token ids and the penalized run diverges eventually
+    assert out_pen.shape[0] == 1 and out_pen.shape[1] <= 16
+    assert not np.array_equal(out_plain, out_pen) or len(set(out_plain[0].tolist())) == out_plain.shape[1]
+
+
+def test_dynamic_ntk_rope_activates_past_training_window():
+    """use_dynamic_ntk_rope must change decode logits once the sequence
+    exceeds max_position_embeddings, and be a no-op below it."""
+    import dataclasses
+    from internevo_tpu.apis.inference import init_kv_cache, model_decode_step
+
+    cfg, params = _model()
+    cfg_ntk = dataclasses.replace(cfg, use_dynamic_ntk_rope=True, max_position_embeddings=8)
+    prompt = jnp.asarray([[1, 2, 3, 4]], jnp.int32)
+
+    def run(c, idx):
+        cache = init_kv_cache(c, 1, 32)
+        logits, cache = model_decode_step(c, params, prompt, cache, jnp.asarray(0, jnp.int32))
+        step = jnp.asarray([[5]], jnp.int32)
+        logits, cache = model_decode_step(c, params, step, cache, jnp.asarray(idx, jnp.int32))
+        return np.asarray(logits[:, -1])
+
+    # below the window: identical
+    np.testing.assert_allclose(run(cfg, 4), run(cfg_ntk, 4), rtol=1e-6)
+    # past the window: the NTK base rescale must move the logits
+    assert not np.allclose(run(cfg, 12), run(cfg_ntk, 12))

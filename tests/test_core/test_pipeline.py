@@ -191,3 +191,23 @@ def test_tp_grads_match_baseline():
             np.testing.assert_allclose(
                 flat[path], ref_leaf, rtol=2e-4, atol=1e-6,
                 err_msg=f"{mode} tp={tp} {jax.tree_util.keystr(path)}")
+
+
+def test_pp2_tp4_gqa_group_kv_heads2():
+    """tp (4) > num_kv_heads (2): kv weights replicate within the 2-rank GQA
+    groups and their grads sum at the boundary (reference Initializer_GQA);
+    loss AND grad-norm must match the tp=1 pipeline baseline."""
+    model = dict(num_layers=2, hidden_size=64, num_attention_heads=8,
+                 num_kv_attention_heads=2, vocab_size=512)
+    losses_ref, gn_ref = _run(
+        _cfg(data=dict(micro_num=4), model=model,
+             parallel=dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2, n_devices=2)
+    losses_gqa, gn_gqa = _run(
+        _cfg(data=dict(micro_num=4), model=model,
+             parallel=dict(zero1=dict(size=1), tensor=dict(size=4, mode="mtp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2)
+    np.testing.assert_allclose(losses_ref, losses_gqa, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(gn_ref, gn_gqa, rtol=2e-3, atol=2e-4)

@@ -169,3 +169,30 @@ def test_checkpoint_fraction_matches_baseline():
     l1, g1 = jax.value_and_grad(loss(cfg1))(params)
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1)
+
+
+def test_activation_offload_matches_baseline():
+    """activation_offload=True (host-offloaded flash context, the reference's
+    activation_checkpoint.py CPU-offload mode) is a memory knob only: same
+    loss and grads."""
+    import dataclasses
+    from internevo_tpu.models.base import ModelConfig, init_params, model_forward
+
+    cfg = ModelConfig(num_layers=2, hidden_size=64, num_attention_heads=4,
+                      vocab_size=256, dtype="float32", checkpoint=1.0)
+    cfg_off = dataclasses.replace(cfg, activation_offload=True)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 64), 0, 256)
+    pos = jnp.tile(jnp.arange(64), (1, 1))
+    seg = jnp.ones((1, 64), jnp.int32)
+
+    def loss(c):
+        def f(p):
+            lg = model_forward(c, p, ids, pos, seg, train=True)
+            return jnp.mean(lg.astype(jnp.float32) ** 2)
+        return jax.jit(jax.value_and_grad(f))(params)
+
+    l0, g0 = loss(cfg)
+    l1, g1 = loss(cfg_off)
+    np.testing.assert_allclose(l0, l1, rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1)

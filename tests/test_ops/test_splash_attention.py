@@ -104,3 +104,47 @@ def test_single_long_segment_with_bound():
     out = splash_attention(q, k, v, segment_ids=seg, causal=True,
                            block_q=64, block_k=64, max_segment_len=256, interpret=True)
     np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pallas_gspmd_dispatch_shard_map_island():
+    """Mosaic kernels cannot be auto-partitioned by GSPMD: on a multi-device
+    mesh the dispatcher must wrap the kernel in a fully-manual shard_map
+    island (batch over dp/zero, heads over tp, gather fallback when
+    tp > kv_heads) with fwd AND grads matching the reference."""
+    from jax.sharding import Mesh
+
+    from internevo_tpu.core.context import MESH_AXES
+    from internevo_tpu.ops.attention import flash_attention, set_use_pallas
+    from internevo_tpu.parallel import sharding as shmod
+
+    set_use_pallas(True)  # pallas path; interpret mode on CPU
+    devs = np.array(jax.devices()[:4]).reshape(1, 2, 1, 1, 2)
+    mesh = Mesh(devs, MESH_AXES)
+    old_rules = shmod.get_rules()
+    shmod.set_rules(shmod.ShardingRules(mesh=mesh, tp_mode="mtp"))
+    try:
+        for Hq, Hkv in ((4, 4), (4, 1)):  # tp-sharded heads; tp>kv gather fallback
+            B, S, D = 2, 256, 32
+            q = jax.random.normal(jax.random.PRNGKey(0), (B, S, Hq, D), jnp.float32)
+            k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, D), jnp.float32)
+            v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, D), jnp.float32)
+            seg = jnp.asarray(np.repeat([1, 2], S // 2)[None].repeat(B, 0).astype(np.int32))
+
+            def loss_fl(q, k, v):
+                o = flash_attention(q, k, v, segment_ids=seg, causal=True,
+                                    max_segment_len=S // 2)
+                return jnp.sum(o * jnp.cos(o))
+
+            def loss_ref(q, k, v):
+                o = attention_reference(q, k, v, segment_ids=seg, causal=True)
+                return jnp.sum(o * jnp.cos(o))
+
+            lf, gf = jax.jit(jax.value_and_grad(loss_fl, argnums=(0, 1, 2)))(q, k, v)
+            lr, gr = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+            np.testing.assert_allclose(lf, lr, rtol=1e-5)
+            for a, b, n in zip(gf, gr, "qkv"):
+                np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5,
+                                           err_msg=f"Hkv={Hkv} d{n}")
+    finally:
+        set_use_pallas(None)
+        shmod.set_rules(old_rules)

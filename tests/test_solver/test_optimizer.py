@@ -104,3 +104,28 @@ def test_beta2_anneal_and_lr_schedule():
 def test_global_norm():
     tree = {"a": jnp.asarray([3.0]), "b": jnp.asarray([4.0])}
     assert float(global_norm(tree)) == pytest.approx(5.0)
+
+
+def test_param_group_norms_match_reference_grouping():
+    """Per-group grad norms (reference create_param_groups, train/utils.py:11-84
+    + the per-step grad_norm dict): groups partition the tree and their norms
+    recombine to the global norm."""
+    import jax.numpy as jnp
+    from internevo_tpu.solver.optimizer import global_norm, param_group_norms
+
+    tree = {
+        "embedding": {"weight": jnp.full((4, 4), 2.0)},
+        "head": {"kernel": jnp.full((4, 2), 1.0)},
+        "norm": jnp.full((4,), 3.0),
+        "blocks": {
+            "norm1": jnp.full((2, 4), 1.0),
+            "wqkv": {"kernel": jnp.full((2, 4, 4), 0.5)},
+            "moe": {"experts": {"w1": jnp.full((2, 2, 4, 4), 0.25)}},
+        },
+    }
+    groups = param_group_norms(tree)
+    assert set(groups) == {"embed_head", "fp32", "default", "moe"}
+    total = jnp.sqrt(sum(jnp.square(v) for v in groups.values()))
+    np.testing.assert_allclose(total, global_norm(tree), rtol=1e-6)
+    np.testing.assert_allclose(groups["moe"], jnp.sqrt(64 * 0.25**2), rtol=1e-6)
+    np.testing.assert_allclose(groups["embed_head"], jnp.sqrt(16 * 4.0 + 8 * 1.0), rtol=1e-6)

