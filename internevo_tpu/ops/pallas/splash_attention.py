@@ -623,6 +623,12 @@ def _splash_bwd(scale, causal, block_q, block_k, max_segment_len, interpret, res
 _splash.defvjp(_splash_fwd, _splash_bwd)
 
 
+import os
+
+_DEFAULT_BQ = int(os.environ.get("IEVO_FLASH_BQ", "1024"))  # measured best at packed-7B shapes
+_DEFAULT_BK = int(os.environ.get("IEVO_FLASH_BK", "1024"))
+
+
 def splash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -630,8 +636,8 @@ def splash_attention(
     segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
-    block_q: int = 512,
-    block_k: int = 1024,
+    block_q: int = _DEFAULT_BQ,
+    block_k: int = _DEFAULT_BK,
     max_segment_len: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
