@@ -1,26 +1,25 @@
-"""Pipeline parallelism: GPipe-schedule microbatch rotation via shard_map+ppermute,
+"""Pipeline parallelism: true 1F1B (plain + interleaved) via shard_map+ppermute,
 with manual Megatron tensor parallelism inside each stage.
 
 The TPU-native replacement for the reference's 1F1B schedulers
 (``internlm/core/scheduler/pipeline_scheduler.py:111-1430``), Megatron p2p ops
 (``core/communication/p2p.py``) and the hand-written TP collectives
-(``model/utils.py:228-463``), combined in one shard_map:
+(``model/utils.py:228-463``), combined in ONE fully-manual shard_map over
+(pp, tp, dp, ep, zero):
 
-- ``pp`` and ``tp`` are manual axes; ``dp``/``zero`` stay auto (GSPMD still
-  handles data parallelism and ZeRO inside each stage).  XLA's partitioner
-  cannot mix auto-TP resharding inside a manual-pp region (subgroup CHECK
-  failure), so TP inside the pipeline is explicit: column-parallel wqkv/w1/w3
-  shards, row-parallel out_proj/w2 with psum, hidden-split embedding with
-  all-gather, vocab-split head with a vocab-parallel cross-entropy done via
-  pmax/psum over ``tp`` (the reference's flash-attn parallel CE,
-  ``losses/ce_loss.py:10-58``).
-- The pipeline schedule is one ``lax.fori_loop`` of M + pp - 1 ticks; each tick
-  ppermutes the activation ring one stage forward and runs the local layer
-  stack on microbatch (t - stage).  Backward comes from ``jax.grad`` through
-  the loop (the transpose of ppermute is the reverse ppermute), giving a
-  GPipe-schedule bwd; activation memory is bounded by full-layer remat.
+- TP inside the pipeline is explicit: column-parallel wqkv/w1/w3 shards,
+  row-parallel out_proj/w2 with psum (msp/fsp: sequence all-gather /
+  psum_scatter), hidden-split embedding, vocab-split head with a
+  vocab-parallel cross-entropy via pmax/psum over ``tp`` (the reference's
+  flash-attn parallel CE, ``losses/ce_loss.py:10-58``).
+- The schedule is one lockstep ``lax.fori_loop`` running at most one
+  microbatch forward AND one backward per stage per tick (see
+  ``_1f1b_loss_fn``); backward is a manual per-unit ``jax.vjp`` from a
+  circular input buffer, so live state is O(num_chunks * pp), the vocab head
+  runs only on the last virtual stage, and gradients leave through an
+  explicit dp/zero psum + custom_vjp.
 - No shape-metadata exchange (static shapes) and no warmup/cooldown special
-  cases (the clip/where indexing covers fill and drain).
+  cases (decode + predication covers fill and drain).
 
 When tp > num_kv_heads, kv weights replicate within each g = tp/kv_heads rank
 group and their grads sum at the shard_map boundary — the reference's
@@ -289,171 +288,14 @@ def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0
                      num_chunks: int = 1, tp_mode: str = "mtp"):
     """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``.
 
-    ``num_chunks == 1`` uses the true 1F1B schedule (``_1f1b_loss_fn``):
-    O(pp) live microbatches and the vocab head computed only on the last
-    stage, parity with the reference ``PipelineScheduler``
-    (``pipeline_scheduler.py:111-708``).
-
-    ``num_chunks > 1`` enables the interleaved (circular/virtual-chunk)
-    schedule, parity with the reference ``InterleavedPipelineScheduler``
-    (``pipeline_scheduler.py:711-1430``): each stage owns ``num_chunks``
-    strided layer groups (chunk c on stage s = layer group c*pp + s), the
-    activation ring rotates every tick, and stage pp-1 -> stage 0 handoff
-    advances the chunk.  Requires M % pp == 0 (reference :743); the bubble
-    shrinks from (pp-1)/(M+pp-1) to (pp-1)/(M*C+pp-1).
+    One true-1F1B implementation covers both schedules: ``num_chunks == 1``
+    is the reference ``PipelineScheduler`` (``pipeline_scheduler.py:111-708``),
+    ``num_chunks > 1`` the interleaved ``InterleavedPipelineScheduler``
+    (:711-1430; requires M % pp == 0, :743).  The bubble shrinks from
+    (pp-1)/(M+pp-1) to (pp-1)/(M*C+pp-1); live state stays O(C*pp).
     """
-    if num_chunks == 1:
-        return _1f1b_loss_fn(cfg, mesh, pp, label_smoothing, tp_mode)
-    return _gpipe_loss_fn(cfg, mesh, pp, label_smoothing, num_chunks, tp_mode)
+    return _1f1b_loss_fn(cfg, mesh, pp, label_smoothing, tp_mode, num_chunks)
 
-
-def _gpipe_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
-                   num_chunks: int = 1, tp_mode: str = "mtp"):
-    """GPipe-schedule fori_loop, differentiated by jax.grad through the
-    shard_map.  Retained for the interleaved (num_chunks > 1) schedule."""
-    tp = mesh.shape.get(TP, 1)
-    C = num_chunks
-    gqa_rep = cfg.num_kv_attention_heads % tp != 0
-    if gqa_rep:
-        assert tp % cfg.num_kv_attention_heads == 0 and cfg.num_attention_heads % tp == 0, \
-            (cfg.num_attention_heads, cfg.num_kv_attention_heads, tp)
-    assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
-    seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
-
-    def stage_fn(blocks, embedding, norm, head, norm_bias,
-                 input_ids, positions, segment_ids, labels):
-        pp_idx = jax.lax.axis_index(PP)
-        tp_idx = jax.lax.axis_index(TP)
-        M, b, S = input_ids.shape
-        H = cfg.hidden_size
-        # msp: the ring carries sequence-sharded activations (1/tp the bytes)
-        S_loc = S // tp if seq_parallel else S
-        other = {"norm": norm, "head": head}
-        if norm_bias is not None:
-            other["norm_bias"] = norm_bias
-
-        def embed_all():
-            # full-seq lookup of the local hidden shard, hidden all-gather,
-            # THEN seq split (reference Embedding1D order, embedding.py:52-60 —
-            # slicing ids first would pair one rank's tokens with other ranks'
-            # hidden shards in the gather)
-            out = jax.vmap(lambda i: _manual_embed(cfg, tp, embedding, i))(input_ids)
-            if seq_parallel:
-                out = jax.lax.dynamic_slice_in_dim(out, tp_idx * S_loc, S_loc, axis=2)
-            return out
-
-        emb = jax.lax.cond(pp_idx == 0, embed_all,
-                           lambda: jnp.zeros((M, b, S_loc, H), cfg.dtype))
-
-        # blocks arrive as the local slice of the (C*pp, L/(C*pp), ...) layout
-        # = (C, L/(C*pp), ...) per stage; chunk c's group is blocks[:, c].
-        if C > 1:
-            blocks_c = jax.tree.map(lambda a: a.reshape(C, a.shape[0] // C, *a.shape[1:]), blocks)
-
-        def run_chunk(chunk_idx, x, pos, seg):
-            if C == 1:
-                return _stage_blocks_apply(cfg, tp, blocks, x, pos, seg, seq_parallel)
-            local = jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, chunk_idx, 0, keepdims=False),
-                                 blocks_c)
-            return _stage_blocks_apply(cfg, tp, local, x, pos, seg, seq_parallel)
-
-        T = M * C + pp - 1
-
-        def tick(t, carry):
-            state, out_buf = carry
-            # full ring: stage pp-1 hands chunk c's output to stage 0 (chunk c+1)
-            perm = [(i, (i + 1) % pp) for i in range(pp)] if C > 1 else [(i, i + 1) for i in range(pp - 1)]
-            recv = jax.lax.ppermute(state, PP, perm)
-            u = jnp.clip(t - pp_idx, 0, M * C - 1)
-            phase = u // pp
-            chunk = phase % C
-            group = phase // C
-            mb = group * pp + (u % pp)
-            is_entry = jnp.logical_and(pp_idx == 0, chunk == 0)
-            x0 = jax.lax.dynamic_index_in_dim(emb, mb, 0, keepdims=False)
-            x = jnp.where(is_entry, x0, recv)
-            pos = jax.lax.dynamic_index_in_dim(positions, mb, 0, keepdims=False)
-            seg = jax.lax.dynamic_index_in_dim(segment_ids, mb, 0, keepdims=False)
-            y = run_chunk(chunk, x, pos, seg)
-            is_exit = jnp.logical_and(pp_idx == pp - 1, chunk == C - 1)
-            out_buf = jnp.where(
-                is_exit,
-                jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0),
-                out_buf,
-            ) if C > 1 else jax.lax.dynamic_update_index_in_dim(out_buf, y, mb, 0)
-            return (y, out_buf)
-
-        init = (jnp.zeros((b, S_loc, H), cfg.dtype), jnp.zeros((M, b, S_loc, H), cfg.dtype))
-        _, out_buf = jax.lax.fori_loop(0, T, tick, init)
-
-        def per_micro(y, lab):
-            if seq_parallel:
-                # the vocab-split head consumes the full sequence (reference
-                # ScaleColumnParallelLinear gather_dim=1)
-                y = jax.lax.all_gather(y, TP, axis=1, tiled=True)
-            if tp == 1 and cfg.norm_type == "rmsnorm":
-                # token-chunked fused CE: never materializes (tokens, vocab)
-                # logits (see ops/fused_ce.py) — required headroom at 7B vocab
-                from ..ops.fused_ce import fused_norm_head_ce
-
-                nll_sum, n_valid, n_cor = fused_norm_head_ce(
-                    y, other["norm"], other["head"], lab,
-                    eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
-                    norm_head=cfg.norm_head, label_smoothing=label_smoothing,
-                )
-                return nll_sum / jnp.maximum(n_valid, 1), n_valid, n_cor
-            nll_sum, n_valid, n_cor = _manual_head_ce(cfg, tp, other, y, lab, label_smoothing)
-            return nll_sum / jnp.maximum(n_valid, 1), n_valid, n_cor
-
-        # the head runs on every stage (its cost is amortized over M micro
-        # batches); only the last stage's result survives the mask.  A cond
-        # would save the flops but device-varying cond + manual tp collectives
-        # inside diverge (collectives must run on all tp peers).
-        losses, n_valids, n_cors = jax.vmap(per_micro)(out_buf, labels)
-        is_last = (pp_idx == pp - 1).astype(jnp.float32)
-        loss_sum = jax.lax.psum(jnp.sum(losses) * is_last, PP)
-        n_tok = jax.lax.psum((jnp.sum(n_valids) * is_last).astype(jnp.int32), PP)
-        n_cor = jax.lax.psum((jnp.sum(n_cors) * is_last).astype(jnp.int32), PP)
-        return loss_sum, n_tok, n_cor
-
-    def loss_fn(params, batch):
-        blocks = params["blocks"]
-        if C > 1:
-            # natural layer order assigns group v = c*pp + s (chunk-major,
-            # reference interleaved mapping); shard_map slices the layer dim
-            # contiguously per stage, so permute groups into (stage, chunk)
-            # order: stage s's shard then holds its C chunks back-to-back.
-            L = cfg.num_layers
-            Lg = L // (C * pp)
-            group_order = [c * pp + s for s in range(pp) for c in range(C)]
-            layer_idx = jnp.asarray(
-                [v * Lg + i for v in group_order for i in range(Lg)], jnp.int32)
-            blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
-        bs = _block_pspecs(blocks, gqa_rep)
-        norm_bias = params.get("norm_bias")
-        sm = jax.shard_map(
-            stage_fn,
-            mesh=mesh,
-            in_specs=(bs, P(None, TP), P(), P(None, TP),
-                      P() if norm_bias is not None else P(),
-                      P(), P(), P(), P()),
-            out_specs=(P(), P(), P()),
-            axis_names={PP, TP},
-            check_vma=False,
-        )
-        from .sharding import constraints_disabled
-
-        with constraints_disabled():
-            loss_sum, n_tok, n_cor = sm(
-                blocks, params["embedding"]["weight"], params["norm"],
-                params["head"]["kernel"], norm_bias,
-                batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"],
-            )
-        M = batch["input_ids"].shape[0]
-        loss = loss_sum / M
-        return loss, (loss, n_tok, n_cor)
-
-    return loss_fn
 
 def _block_pspecs(blocks, gqa_replicated: bool = False) -> dict:
     """PartitionSpecs for the per-stage block stack: layer dim over pp;
@@ -507,46 +349,51 @@ def _boundary_psum(tree, specs, axes: tuple):
     return jax.tree.map(one, tree, specs)
 
 
-def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
-                  tp_mode: str = "mtp"):
-    """True 1F1B pipeline (reference ``PipelineScheduler``,
-    ``pipeline_scheduler.py:111-708``), TPU-native formulation:
 
-    - ONE shard_map, fully manual over (pp, tp, dp, zero): ZeRO-sharded params
-      are all-gathered once at entry (the reference's param broadcast), the
-      batch arrives dp-sharded, grads leave through an explicit dp/zero psum
-      (the reference's bucketed grad all-reduce);
-    - one lockstep fori_loop of T = M + 2*pp - 2 ticks; per tick each stage
-      runs at most one microbatch forward and one microbatch backward (jax.vjp
-      with the stage input re-fetched from a circular buffer — stage-granular
-      rematerialization);
-    - forward of micro m runs on stage s at tick m + s; backward at tick
-      m + 2*pp - 2 - s; on the last stage both coincide, so its forward is
-      folded into the backward and the vocab head + CE run ONLY there (the
-      GPipe path computed them on every stage and masked);
-    - live state is O(pp), not O(micro_num): a min(2*pp, M)-slot input buffer
-      plus fp32 grad accumulators — the reference 1F1B's bounded in-flight
-      microbatch set;
+def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
+                  tp_mode: str = "mtp", num_chunks: int = 1):
+    """True 1F1B pipeline, plain AND interleaved (reference
+    ``PipelineScheduler`` :111-708 / ``InterleavedPipelineScheduler``
+    :711-1430), TPU-native formulation:
+
+    - ONE shard_map, fully manual over (pp, tp, dp, ep, zero): ZeRO-sharded
+      params are all-gathered once at entry (the reference's param broadcast),
+      the batch arrives dp-sharded, grads leave through an explicit dp/zero
+      psum (the reference's bucketed grad all-reduce);
+    - work units are (micro-group g, chunk c, offset r) with micro
+      m = g*pp + r and virtual stage v = c*pp + s; one lockstep fori_loop:
+      forward of a unit runs on stage s at tick g*C*pp + c*pp + r + s and its
+      backward at T0 + g*C*pp + (C-1-c)*pp + r + (pp-1-s) with T0 = C*pp - 1 —
+      both the stage handoff and the chunk handoff (stage pp-1 -> stage 0)
+      advance exactly one tick, so a single ppermute ring per direction
+      carries the whole schedule and each stage does at most one forward and
+      one backward per tick (the 1F1B steady state);
+    - on the last VIRTUAL stage (chunk C-1 of stage pp-1) forward and backward
+      coincide, so its forward folds into the backward and the vocab head + CE
+      run only there;
+    - live state is O(C*pp), not O(micro_num): a min(2*C*pp, M*C)-slot input
+      buffer plus fp32 grad accumulators (backward re-runs the stage forward
+      from the buffered input — stage-granular rematerialization);
     - gradients accumulate inside the loop and leave through a custom_vjp, so
       ``jax.grad(loss_fn)`` in the scheduler keeps working unchanged.
     """
     from ..core.context import DP, EP, ZERO
 
     tp = mesh.shape.get(TP, 1)
+    C = num_chunks
     ALL_AXES = (PP, TP, DP, EP, ZERO)
     BATCH_AXES = (DP, EP, ZERO)
     gqa_rep = cfg.num_kv_attention_heads % tp != 0
     if gqa_rep:
         assert tp % cfg.num_kv_attention_heads == 0 and cfg.num_attention_heads % tp == 0, \
             (cfg.num_attention_heads, cfg.num_kv_attention_heads, tp)
-    assert cfg.num_layers % pp == 0, (cfg.num_layers, pp)
+    assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
     seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
                  input_ids, positions, segment_ids, labels):
         pp_idx = jax.lax.axis_index(PP)
         tp_idx = jax.lax.axis_index(TP)
-        is_last = pp_idx == pp - 1
         M, b, S = input_ids.shape  # b = LOCAL batch (dp/zero are manual here)
         H = cfg.hidden_size
         S_loc = S // tp if seq_parallel else S
@@ -554,17 +401,30 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         if norm_bias is not None:
             consts["norm_bias"] = norm_bias
 
-        # per-micro GLOBAL valid-token counts: the CE normalizer (precomputed so
-        # backward seeds don't need a collective inside the loop)
+        # per-micro GLOBAL valid-token counts: the CE normalizer (precomputed
+        # so backward seeds need no collective inside the loop)
         nvg = jax.lax.psum(jnp.sum(labels != -100, axis=(1, 2)), BATCH_AXES)
         nvg_f = jnp.maximum(nvg, 1).astype(jnp.float32)
 
-        def micro_fn(blocks_, consts_, x, m):
-            """One stage's work on microbatch m: embed on stage 0, the local
-            block stack everywhere, head + CE (local nll SUM) only on the last
-            stage."""
+        if C > 1:
+            Lg = blocks["norm1"].shape[0] // C  # local layers per chunk
+            blocks_c = jax.tree.map(
+                lambda a: a.reshape(C, Lg, *a.shape[1:]), blocks)
+
+        def micro_fn(blocks_, consts_, x, m, c):
+            """One (micro m, chunk c) unit on this stage: embed at the first
+            virtual stage, the chunk's layer group, head + CE (local nll SUM)
+            at the last virtual stage."""
             pos = jax.lax.dynamic_index_in_dim(positions, m, 0, keepdims=False)
             seg = jax.lax.dynamic_index_in_dim(segment_ids, m, 0, keepdims=False)
+            if C > 1:
+                bc = jax.tree.map(lambda a: a.reshape(C, Lg, *a.shape[1:]), blocks_)
+                local = jax.tree.map(
+                    lambda a: jax.lax.dynamic_index_in_dim(a, c, 0, keepdims=False), bc)
+            else:
+                local = blocks_
+            is_entry = jnp.logical_and(pp_idx == 0, c == 0)
+            is_head = jnp.logical_and(pp_idx == pp - 1, c == C - 1)
 
             def embed():
                 ids = jax.lax.dynamic_index_in_dim(input_ids, m, 0, keepdims=False)
@@ -573,8 +433,8 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                     e = jax.lax.dynamic_slice_in_dim(e, tp_idx * S_loc, S_loc, axis=1)
                 return e
 
-            x_eff = jax.lax.cond(pp_idx == 0, embed, lambda: x)
-            h = _stage_blocks_apply(cfg, tp, blocks_, x_eff, pos, seg, seq_parallel)
+            x_eff = jax.lax.cond(is_entry, embed, lambda: x)
+            h = _stage_blocks_apply(cfg, tp, local, x_eff, pos, seg, seq_parallel)
 
             def head_branch():
                 y = h
@@ -599,13 +459,21 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             def no_head():
                 return jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)
 
-            nll_sum, n_cor = jax.lax.cond(is_last, head_branch, no_head)
+            nll_sum, n_cor = jax.lax.cond(is_head, head_branch, no_head)
             return (h, nll_sum), n_cor
 
-        B = min(2 * pp, M)  # in-flight microbatches at stage s <= 2*(pp-s)-1
-        T = M + 2 * pp - 2
-        perm_fwd = [(i, i + 1) for i in range(pp - 1)]
-        perm_bwd = [(i + 1, i) for i in range(pp - 1)]
+        U = M * C                     # total work units
+        T0 = C * pp - 1               # first backward tick
+        T = U + T0 + pp - 1           # C=1: M + 2*pp - 2
+        B = min(2 * C * pp, U)        # in-flight units per stage < 2*C*pp
+        perm_fwd = [(i, (i + 1) % pp) for i in range(pp)]
+        perm_bwd = [(i, (i - 1) % pp) for i in range(pp)]
+
+        def decode(u):
+            r = u % pp
+            c = (u // pp) % C
+            g = u // (C * pp)
+            return g * pp + r, c          # (micro m, chunk index in fwd order)
 
         zero_grads = {
             "blocks": jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), blocks),
@@ -618,38 +486,47 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             recv_dy = jax.lax.ppermute(dx_send, PP, perm_bwd)
 
             # ------------------------------------------------ forward substep
-            m_f = t - pp_idx
-            fwd_active = jnp.logical_and(jnp.logical_and(m_f >= 0, m_f < M),
-                                         jnp.logical_not(is_last))
-            mf = jnp.clip(m_f, 0, M - 1)
+            u_f = t - pp_idx
+            m_f, c_f = decode(jnp.clip(u_f, 0, U - 1))
+            is_last_virtual_f = jnp.logical_and(pp_idx == pp - 1, c_f == C - 1)
+            fwd_active = jnp.logical_and(
+                jnp.logical_and(u_f >= 0, u_f < U),
+                jnp.logical_not(is_last_virtual_f))
 
             def do_fwd():
-                (h, _nll), _ = micro_fn(blocks, consts, recv_x, mf)
+                (h, _nll), _ = micro_fn(blocks, consts, recv_x, m_f, c_f)
                 return h
 
             y_new = jax.lax.cond(fwd_active, do_fwd, lambda: jnp.zeros_like(y_send))
             x_buf = jax.lax.cond(
                 fwd_active,
-                lambda: jax.lax.dynamic_update_index_in_dim(x_buf, recv_x, mf % B, 0),
+                lambda: jax.lax.dynamic_update_index_in_dim(
+                    x_buf, recv_x, jnp.clip(u_f, 0, U - 1) % B, 0),
                 lambda: x_buf,
             )
 
             # ----------------------------------------------- backward substep
-            m_b = t - (2 * pp - 2 - pp_idx)
-            bwd_active = jnp.logical_and(m_b >= 0, m_b < M)
-            mb = jnp.clip(m_b, 0, M - 1)
+            u_b = t - T0 - (pp - 1 - pp_idx)
+            bwd_active = jnp.logical_and(u_b >= 0, u_b < U)
+            ub = jnp.clip(u_b, 0, U - 1)
+            r_b = ub % pp
+            c_b = C - 1 - ((ub // pp) % C)      # backward walks chunks high->low
+            g_b = ub // (C * pp)
+            m_b = g_b * pp + r_b
+            u_unit = g_b * C * pp + c_b * pp + r_b  # the unit's forward index
+            is_last_virtual_b = jnp.logical_and(pp_idx == pp - 1, c_b == C - 1)
 
             def do_bwd(grads):
                 x_in = jnp.where(
-                    is_last, recv_x,
-                    jax.lax.dynamic_index_in_dim(x_buf, mb % B, 0, keepdims=False))
+                    is_last_virtual_b, recv_x,
+                    jax.lax.dynamic_index_in_dim(x_buf, u_unit % B, 0, keepdims=False))
                 (_, nll_sum), vjp_fn, n_cor = jax.vjp(
-                    lambda bl, co, x: micro_fn(bl, co, x, mb),
+                    lambda bl, co, x: micro_fn(bl, co, x, m_b, c_b),
                     blocks, consts, x_in, has_aux=True)
-                ct_y = jnp.where(is_last, jnp.zeros_like(dx_send), recv_dy)
+                ct_y = jnp.where(is_last_virtual_b, jnp.zeros_like(dx_send), recv_dy)
                 # d(total_loss)/d(nll_sum_m) = 1 / n_valid_global[m] (div by M
-                # happens outside); zero on non-last stages
-                ct_nll = jnp.where(is_last, 1.0 / nvg_f[mb], 0.0)
+                # outside); zero off the head unit
+                ct_nll = jnp.where(is_last_virtual_b, 1.0 / nvg_f[m_b], 0.0)
                 d_blocks, d_consts, dx = vjp_fn((ct_y, ct_nll.astype(nll_sum.dtype)))
                 grads = {
                     "blocks": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
@@ -657,7 +534,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                     "consts": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
                                            grads["consts"], d_consts),
                 }
-                return dx, grads, nll_sum / nvg_f[mb], n_cor
+                return dx, grads, nll_sum / nvg_f[m_b], n_cor
 
             def skip_bwd(grads):
                 return (jnp.zeros_like(dx_send), grads, jnp.zeros((), jnp.float32),
@@ -685,6 +562,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
 
         # loss/acc: only the last stage holds nonzero sums; reduce over pp and
         # the batch axes (nll and n_cor are local batch-shard sums)
+        is_last = pp_idx == pp - 1
         loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), (PP,) + BATCH_AXES)
         cor_sum = jax.lax.psum(jnp.where(is_last, cor_sum, 0), (PP,) + BATCH_AXES)
         tok_sum = jnp.sum(nvg)
@@ -694,10 +572,24 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
 
     def run(params, batch):
         blocks = params["blocks"]
+        if C > 1:
+            # natural layer order assigns virtual group v = c*pp + s; shard_map
+            # slices the layer dim contiguously per stage, so permute groups
+            # into (stage, chunk) order: stage s's shard holds its C chunks
+            # back-to-back (reference interleaved chunk mapping :925-944)
+            L = cfg.num_layers
+            Lg_all = L // (C * pp)
+            group_order = [c * pp + s for s in range(pp) for c in range(C)]
+            layer_idx = jnp.asarray(
+                [v * Lg_all + i for v in group_order for i in range(Lg_all)], jnp.int32)
+            blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
         bs = _block_pspecs(blocks, gqa_rep)
         norm_bias = params.get("norm_bias")
         nb_spec = P()
         batch_spec = P(None, BATCH_AXES)
+        M = batch["input_ids"].shape[0]
+        if C > 1:
+            assert M % pp == 0, (M, pp, "interleaved schedule needs M % pp == 0 (ref :743)")
         sm = jax.shard_map(
             stage_fn,
             mesh=mesh,
@@ -715,7 +607,15 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 params["head"]["kernel"], norm_bias,
                 batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"],
             )
-        M = batch["input_ids"].shape[0]
+        if C > 1:
+            # un-permute block grads back to the natural layer order
+            L = cfg.num_layers
+            Lg_all = L // (C * pp)
+            group_order = [c * pp + s for s in range(pp) for c in range(C)]
+            layer_idx = np.asarray(
+                [v * Lg_all + i for v in group_order for i in range(Lg_all)])
+            inv = np.argsort(layer_idx)
+            d_blocks = jax.tree.map(lambda g: jnp.take(g, jnp.asarray(inv), axis=0), d_blocks)
         loss = loss_sum / M
         grads = {
             "blocks": jax.tree.map(lambda g: g / M, d_blocks),

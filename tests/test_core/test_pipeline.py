@@ -114,11 +114,12 @@ def test_1f1b_memory_flat_in_micro_num():
         initialize_model, initialize_optimizer, initialize_trainer,
     )
 
-    def temp_bytes(micro_num):
+    def temp_bytes(micro_num, num_chunks=1):
         seq, vocab = 128, 512
         config = _cfg(
             data=dict(seq_len=seq, micro_num=micro_num, micro_bsz=1),
-            model=dict(vocab_size=vocab, hidden_size=64, num_layers=2, num_attention_heads=4),
+            model=dict(vocab_size=vocab, hidden_size=64, num_layers=4 * num_chunks,
+                       num_attention_heads=4, num_chunks=num_chunks),
             parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
                           pipeline=dict(size=2), weight=dict(size=1)),
         )
@@ -142,6 +143,9 @@ def test_1f1b_memory_flat_in_micro_num():
     # batch arrays themselves grow with micro_num; everything else must not
     slack = 6 * 128 * 4 * 4 * 8  # 4 int32 (M,dp,seq) arrays' growth, amortized
     assert t8 <= t2 * 1.10 + slack, (t2, t8)
+    # interleaved (num_chunks=2) shares the 1F1B loop: flat as well
+    i2, i8 = temp_bytes(2, num_chunks=2), temp_bytes(8, num_chunks=2)
+    assert i8 <= i2 * 1.10 + slack, (i2, i8)
 
 
 def test_tp_grads_match_baseline():
