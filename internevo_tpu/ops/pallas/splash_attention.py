@@ -611,6 +611,13 @@ def _splash_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
                 max_segment_len, interpret):
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
                                block_k, max_segment_len, interpret)
+    # under jax.checkpoint with save_only_these_names(("flash_out","flash_lse")),
+    # these two residuals survive remat and the backward never re-runs the
+    # forward kernel (q/k/v are rebuilt by the block's cheap matmul recompute)
+    from jax.ad_checkpoint import checkpoint_name
+
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, q_seg, kv_seg, out, lse)
 
 
