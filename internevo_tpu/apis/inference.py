@@ -68,6 +68,13 @@ def _cached_attention(cfg: ModelConfig, q, k_cache, v_cache, cache_len):
     return out.astype(q.dtype)
 
 
+@jax.jit
+def _apply_penalty(lg, seen, p):
+    """Repetition penalty on already-emitted tokens (device-side; module-level
+    jit so repeated generate() calls reuse one compilation)."""
+    return jnp.where(seen, jnp.where(lg > 0, lg / p, lg * p), lg)
+
+
 def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
                       kv_cache: dict, cache_index: jax.Array):
     """Forward T tokens appending to the cache at ``cache_index``.
@@ -194,8 +201,6 @@ class SequenceGenerator:
         # inference.py:925 repetition_penalty region)
         seen_mask = jnp.zeros((B, V), bool)
         seen_mask = seen_mask.at[jnp.arange(B)[:, None], tokens].set(True)
-        _apply_penalty = jax.jit(
-            lambda lg, seen, p: jnp.where(seen, jnp.where(lg > 0, lg / p, lg * p), lg))
 
         cur = prompt_len
         while cur < max_length:

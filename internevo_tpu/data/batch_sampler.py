@@ -93,16 +93,17 @@ class StaticBatchSampler:
             return full_batches * self.batch_size * world + ramp_total
         return (self.num_samples // (self.batch_size * world)) * self.batch_size * world
 
-    def _reshuffle(self, prefix: np.ndarray | None = None):
+    def _reshuffle(self, pool_size: int | None = None):
         """Draw the next permutation from the rng stream.  The rng state is
         captured *before* shuffling: ``load_state_dict`` restores it and calls
-        this again, reproducing the identical pool without storing it."""
-        prefix = np.array([], dtype=np.int64) if prefix is None else np.asarray(prefix)
-        fresh = np.arange(len(prefix), self.num_samples)
+        this again with the CHECKPOINTED pool size, reproducing the identical
+        pool without trusting the stored index array (the pool size depends on
+        the batch_count at pool-BUILD time — rampup vs post-rampup — which the
+        fresh sampler cannot re-derive)."""
+        fresh = np.arange(self.num_samples)
         self.rng_state = self.rng.get_state()
         self.rng.shuffle(fresh)
-        pool = np.concatenate([prefix, fresh]).astype(int)
-        self.indices = pool[: self._pool_size()]
+        self.indices = fresh.astype(int)[: self._pool_size() if pool_size is None else pool_size]
         if len(self.indices) < self.batch_size:
             raise ValueError(f"epoch pool ({len(self.indices)}) smaller than one batch ({self.batch_size})")
         self.num_consumed_samples_in_epoch = 0
@@ -149,7 +150,8 @@ class StaticBatchSampler:
             if states[name] != getattr(self, name):
                 raise ValueError(f"resume mismatch on {name}: {states[name]} != {getattr(self, name)}")
         self.rng.set_state(states["rng_state"])
-        self._reshuffle()  # re-derive the pool from the restored rng state
+        self._reshuffle(pool_size=len(states["indices"]))
+        np.testing.assert_array_equal(self.indices, states["indices"])  # drift guard
         self.epoch = states["epoch"]
         self.batch_count = states["batch_count"]
         self.num_consumed_samples_in_epoch = states["num_consumed_samples_in_epoch"]

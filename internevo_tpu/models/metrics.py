@@ -56,7 +56,9 @@ class AccPerplex:
     def _bytes_of(self, token_ids: np.ndarray) -> int:
         """utf-8 byte count of the label tokens (reference :125-127 decodes
         sequences; a per-id byte table is equivalent for sentencepiece-style
-        vocabularies and O(1) per batch)."""
+        vocabularies and O(1) per batch).  NB: for byte-level-BPE vocabularies
+        (GPT-2 style) the HF surface form over-counts multi-byte pieces; pass
+        a tokenizer exposing only ``decode`` to fall back to exact decoding."""
         tok = self.tokenizer
         if self._token_bytes is None:
             if hasattr(tok, "id_to_piece"):  # sentencepiece

@@ -636,6 +636,17 @@ _DEFAULT_BQ = int(os.environ.get("IEVO_FLASH_BQ", "1024"))  # measured best at p
 _DEFAULT_BK = int(os.environ.get("IEVO_FLASH_BK", "1024"))
 
 
+def _fit_block(S: int, want: int):
+    """Largest block <= want that divides S and is a multiple of 8 (f32
+    sublane); None if S has no such divisor."""
+    b = min(want, S)
+    while b >= 8:
+        if S % b == 0 and b % 8 == 0:
+            return b
+        b -= 8
+    return None
+
+
 def splash_attention(
     q: jax.Array,
     k: jax.Array,
@@ -660,8 +671,17 @@ def splash_attention(
     B, S, Hq, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D**-0.5
     interpret = _interpret_default() if interpret is None else interpret
-    block_q = min(block_q, S)
-    block_k = min(block_k, k.shape[1])
+    # the flattened grid and segment-window indexing require the blocks to
+    # DIVIDE the sequence lengths (the old dense-grid kernel padded with cdiv);
+    # shrink to the largest sublane-aligned divisor, or fall back to the jnp
+    # reference for pathological lengths (odd eval paddings)
+    block_q = _fit_block(S, block_q)
+    block_k = _fit_block(k.shape[1], block_k)
+    if block_q is None or block_k is None:
+        from ..attention import attention_reference
+
+        return attention_reference(q, k, v, segment_ids=segment_ids,
+                                   softmax_scale=scale, causal=causal)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)

@@ -69,3 +69,34 @@ def test_copy_is_equivalent():
     _collect(s1, 3)
     s2 = s1.copy()
     assert _collect(s1, 4) == _collect(s2, 4)
+
+
+def test_resume_after_rampup_in_later_epoch():
+    """Resume must re-derive the SAME pool the live sampler was consuming even
+    when the pool was rebuilt post-rampup in a later epoch (the pool size
+    depends on batch_count at pool-BUILD time; review finding r2)."""
+    a = StaticBatchSampler([_FakeDs(300)], batch_size=8, rampup_batch_size="4 2 2",
+                           micro_bsz=1, seed=7)
+    consumed = []
+    it = iter(a)
+    # drain epoch 0 entirely (rampup happens here), roll into epoch 1
+    for batch in it:
+        consumed.append(list(batch))
+    it = iter(a)  # epoch-1 pool built with post-rampup batch_count
+    for _ in range(3):
+        consumed.append(list(next(it)))
+    state = a.state_dict()
+
+    b = StaticBatchSampler([_FakeDs(300)], batch_size=8, rampup_batch_size="4 2 2",
+                           micro_bsz=1, seed=7)
+    b.load_state_dict(state)
+    # continue both: streams must be identical
+    for _ in range(5):
+        np.testing.assert_array_equal(next(it), next(iter_once(b)))
+
+
+def iter_once(sampler):
+    """Resume-aware single-step iterator (mirrors the training loop's reuse)."""
+    if not hasattr(sampler, "_it") or sampler._it is None:
+        sampler._it = iter(sampler)
+    return sampler._it

@@ -148,3 +148,25 @@ def test_pallas_gspmd_dispatch_shard_map_island():
     finally:
         set_use_pallas(None)
         shmod.set_rules(old_rules)
+
+
+def test_non_divisible_block_autofit():
+    """S not divisible by the default 1024 block: the wrapper must shrink to a
+    dividing block (1536 -> 512) instead of crashing (review finding r2)."""
+    B, S, H, D = 1, 1536, 2, 32
+    q, k, v = _rand((B, S, H, D), 0), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    seg = _packed_segments(B, S, 512)
+    out_ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    out = splash_attention(q, k, v, segment_ids=seg, causal=True,
+                           max_segment_len=512, interpret=True)  # default blocks
+    np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_pathological_length_falls_back():
+    """A length with no sublane-aligned divisor must route to the jnp
+    reference rather than fail."""
+    B, S, H, D = 1, 129, 2, 32  # prime-ish: no divisor multiple of 8
+    q, k, v = _rand((B, S, H, D), 0), _rand((B, S, H, D), 1), _rand((B, S, H, D), 2)
+    out_ref = attention_reference(q, k, v, causal=True)
+    out = splash_attention(q, k, v, causal=True, interpret=True)
+    np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5)
