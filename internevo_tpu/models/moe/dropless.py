@@ -9,6 +9,15 @@ without sparse-matrix machinery.
 
 Top-k routing contributes k scaled copies of each token; the inverse
 permutation scatter-adds the expert outputs back.
+
+Expert parallelism: the expert weight stacks shard over the ``ep`` mesh axis
+(``modeling_moe.moe_param_specs``) and GSPMD gathers them just-in-time around
+the ragged matmuls — ZeRO-3-style weight sharding rather than token
+all-to-all.  A dispatch-a2a dropless variant needs ``lax.ragged_all_to_all``,
+which XLA:CPU cannot execute (the test mesh is CPU), so the a2a layout is the
+GShard path's job (``gshard.py``: capacity-based dispatch with a real EXPERT
+all-to-all); this path trades a per-layer weight gather for zero token
+drops.
 """
 
 from __future__ import annotations

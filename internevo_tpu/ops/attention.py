@@ -10,7 +10,7 @@ collater-side transform (see ``data/collaters.py``).
 Two implementations behind one signature:
 - ``attention_reference``: jnp, O(S^2) mask materialization — used in tests and
   as the numerical oracle.
-- Pallas flash attention (``ops/pallas/flash_attention.py``): blocked
+- Pallas splash attention (``ops/pallas/splash_attention.py``): flattened-grid
   online-softmax kernel, used on TPU for real sequence lengths.
 
 GQA is handled by repeating kv heads; MQA/GQA-aware Pallas kernel avoids the

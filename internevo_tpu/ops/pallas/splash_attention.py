@@ -299,18 +299,24 @@ def _fwd_kernel(
 
 
 def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-                    max_segment_len, interpret):
-    """q: (B, Hq, S, D); k/v: (B, Hkv, Sk, D)."""
+                    max_segment_len, interpret, cross_kv=False):
+    """q: (B, Hq, S, D); k/v: (B, Hkv, Sk, D).  ``cross_kv``: q and kv ids
+    come from DIFFERENT ring chunks — segment windows are meaningless (a q
+    segment may continue anywhere in the kv chunk), so only the elementwise
+    masks apply."""
     B, Hq, S, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     q_per_kv = Hq // Hkv
     nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
     use_segments = q_seg is not None
     iq_of, j_of, last_of = _fwd_layout(S, Sk, block_q, block_k, causal,
-                                       max_segment_len, use_segments)
+                                       None if cross_kv else max_segment_len,
+                                       use_segments)
     T = len(iq_of)
-    if use_segments:
+    if use_segments and not cross_kv:
         kv_lo, _ = _segment_windows(q_seg, kv_seg, block_q, block_k)
+    elif use_segments:
+        kv_lo = jnp.zeros((B, nq), jnp.int32)
     else:
         q_seg = jnp.zeros((B, S), jnp.int32)
         kv_seg = jnp.zeros((B, Sk), jnp.int32)
@@ -490,16 +496,21 @@ def _dkv_kernel(
 
 
 def _splash_backward(res, g, *, scale, causal, block_q, block_k,
-                     max_segment_len, interpret, dlse=None):
+                     max_segment_len, interpret, dlse=None, cross_kv=False):
     q, k, v, q_seg, kv_seg, out, lse = res
     do = g
     B, Hq, S, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
     q_per_kv = Hq // Hkv
     nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
+    if cross_kv:
+        max_segment_len = None
     use_segments = q_seg is not None
-    if use_segments:
+    if use_segments and not cross_kv:
         kv_lo, q_hi = _segment_windows(q_seg, kv_seg, block_q, block_k)
+    elif use_segments:
+        kv_lo = jnp.zeros((B, nq), jnp.int32)
+        q_hi = jnp.full((B, nk), nq - 1, jnp.int32)
     else:
         q_seg = jnp.zeros((B, S), jnp.int32)
         kv_seg = jnp.zeros((B, Sk), jnp.int32)
@@ -645,6 +656,67 @@ def _fit_block(S: int, want: int):
             return b
         b -= 8
     return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
+def _splash_lse(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
+                max_segment_len, interpret, cross_kv):
+    out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
+                               block_k, max_segment_len, interpret, cross_kv)
+    return out, lse[..., 0]
+
+
+def _splash_lse_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
+                    max_segment_len, interpret, cross_kv):
+    out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
+                               block_k, max_segment_len, interpret, cross_kv)
+    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, out, lse)
+
+
+def _splash_lse_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,
+                    cross_kv, res, g):
+    do, dlse = g
+    return _splash_backward(res, do, scale=scale, causal=causal, block_q=block_q,
+                            block_k=block_k, max_segment_len=max_segment_len,
+                            interpret=interpret, dlse=dlse, cross_kv=cross_kv)
+
+
+_splash_lse.defvjp(_splash_lse_fwd, _splash_lse_bwd)
+
+
+def splash_attention_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+    block_q: int = None,
+    block_k: int = None,
+    max_segment_len: Optional[int] = None,
+    interpret: Optional[bool] = None,
+):
+    """Like ``splash_attention`` but returns (out (B,S,Hq,D), lse (B,Hq,S))
+    with a differentiable lse — the building block for ring attention, where
+    partial chunk results merge by log-sum-exp.  ``kv_segment_ids`` may differ
+    from ``segment_ids`` (rotated kv chunks); in that case segment windows are
+    disabled and only the elementwise masks apply."""
+    B, S, Hq, D = q.shape
+    scale = softmax_scale if softmax_scale is not None else D**-0.5
+    interpret = _interpret_default() if interpret is None else interpret
+    block_q = _fit_block(S, block_q or _DEFAULT_BQ)
+    block_k = _fit_block(k.shape[1], block_k or _DEFAULT_BK)
+    assert block_q is not None and block_k is not None, (S, k.shape[1])
+    cross = kv_segment_ids is not None and kv_segment_ids is not segment_ids
+    if kv_segment_ids is None:
+        kv_segment_ids = segment_ids
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    out, lse = _splash_lse(qt, kt, vt, segment_ids, kv_segment_ids, scale, causal,
+                           block_q, block_k, max_segment_len, interpret, cross)
+    return out.transpose(0, 2, 1, 3), lse
 
 
 def splash_attention(

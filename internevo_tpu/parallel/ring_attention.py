@@ -11,7 +11,7 @@ This module adds it TPU-natively:
   the visiting kv chunk, then ``ppermute`` the kv block one step around the
   ring (ICI neighbor traffic only, overlapped by XLA with the kernel);
 - partial results merge by log-sum-exp using the kernel's differentiable lse
-  (``ops/pallas/flash_attention.flash_attention_with_lse``);
+  (``ops/pallas/splash_attention.splash_attention_with_lse``);
 - causality across chunks is positional: a visiting chunk strictly before the
   resident chunk attends fully, the resident chunk attends causally to itself,
   later chunks are skipped (lax.cond — no compute, the ppermute still runs);
@@ -29,7 +29,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.flash_attention import flash_attention_with_lse
+from ..ops.pallas.splash_attention import splash_attention_with_lse
 
 NEG_INF = -jnp.inf
 
@@ -72,14 +72,17 @@ def ring_attention(
         o_acc, lse_acc, k_r, v_r, seg_r, src = carry
 
         def causal_chunk():
-            return flash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
-                                            kv_segment_ids=seg_r, softmax_scale=scale,
-                                            causal=True, interpret=interpret)
+            # the resident chunk (src == my): kv ids ARE the local ids, so pass
+            # the same array — the splash segment windows then engage and
+            # masked blocks cost zero grid steps
+            return splash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
+                                             kv_segment_ids=segment_ids, softmax_scale=scale,
+                                             causal=True, interpret=interpret)
 
         def full_chunk():
-            return flash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
-                                            kv_segment_ids=seg_r, softmax_scale=scale,
-                                            causal=False, interpret=interpret)
+            return splash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
+                                             kv_segment_ids=seg_r, softmax_scale=scale,
+                                             causal=False, interpret=interpret)
 
         def skip_chunk():
             return (jnp.zeros_like(q), jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32))

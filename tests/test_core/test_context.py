@@ -136,3 +136,49 @@ def test_isp_wp_loss_equivalence():
                                         pipeline=dict(size=1), weight=dict(size=wp)))
         losses[wp], _ = run_training(cfg, steps=2, n_devices=4)
     np.testing.assert_allclose(losses[1], losses[4], rtol=3e-4, atol=3e-5)
+
+
+@pytest.mark.parametrize("config_file", [
+    "demo.py", "700m_v5e.py", "7B_sft.py", "7B_isp_sft.py",
+    "7B_MoE4_sft.py", "7B_internlm2.py", "7B_llama2.py",
+])
+def test_shipped_configs_load_and_sanity_check(config_file, monkeypatch):
+    """Every shipped config must exec-load, pass args_sanity_check and derive
+    a consistent mesh (the reference validates configs the same way,
+    launch.py:71-445) — catches config rot as knobs gain hard validation
+    (weight.size realization, ep divisibility, dropout+tp guard)."""
+    import os
+    from internevo_tpu.core.config import Config
+    from internevo_tpu.core.context import _derive_sizes, gpc
+    from internevo_tpu.initialize.launch import args_sanity_check
+
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "configs", config_file)
+    cfg = Config.from_file(path)
+    gpc.load_config(cfg)
+    args_sanity_check()
+    parallel = gpc.config.parallel
+    pp = parallel.pipeline.get("size", 1)
+    tp = parallel.tensor.get("size", 1)
+    # derive on the smallest world the topology fits: a fixed zero1 pins it;
+    # zero1=-1 (zero == dp) configs with weight parallel need zero to realize
+    # weight.size (the 7B_isp_sft layout: wp == zero at world = pp*tp*wp)
+    zero1 = parallel.zero1.get("size", -1)
+    wp_cfg = parallel.weight.get("size", 1)
+    if zero1 > 0:
+        dp_total = zero1
+    elif wp_cfg > 1:
+        dp_total = wp_cfg
+    else:
+        dp_total = 8
+    world = pp * tp * dp_total
+    n_exp = int(gpc.config.model.get("num_experts", 1) or 1)
+    sizes = _derive_sizes(world, parallel, n_exp)
+    assert sizes.world == world
+    assert sizes.dp_total * sizes.pp * sizes.tp == world
+    if n_exp > 1:
+        assert n_exp % sizes.ep == 0 and sizes.zero % sizes.ep == 0
+    # isp configs must realize their weight.size on this mesh
+    if parallel.tensor.get("mode") in ("isp", "rsp") and parallel.weight.get("size", 1) > 1:
+        wp = parallel.weight["size"]
+        z = sizes.zero // sizes.ep
+        assert wp in (1, tp, z, z * tp), (wp, tp, z)
