@@ -31,7 +31,7 @@ def fused_norm_head_ce(
     embed_grad_scale: float = 1.0,
     norm_head: bool = False,
     label_smoothing: float = 0.0,
-    chunk_size: int = 512,
+    chunk_size: int = None,
     compute_acc: bool = True,
 ):
     """Returns (nll_sum fp32, n_valid, n_correct)."""
@@ -41,6 +41,9 @@ def fused_norm_head_ce(
     flat_h = hidden.reshape(tokens, H)
     flat_lab = labels.reshape(tokens)
 
+    import os
+
+    chunk_size = chunk_size or int(os.environ.get("IEVO_CE_CHUNK", "512"))
     chunk_size = min(chunk_size, tokens)
     # pad to a multiple of chunk_size with ignored labels
     rem = (-tokens) % chunk_size
