@@ -26,7 +26,8 @@ from ...solver.optimizer import AdamWConfig, GradScalerConfig, optimizer_step
 
 
 def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: float = 0.0,
-                            moe_loss_coeff: float = 0.01, fused_ce: bool = True):
+                            moe_loss_coeff: float = 0.01, fused_ce: bool = True,
+                            dropout_rng=None, is_train: bool = True):
     cfg = model.config
     moe_loss = jnp.zeros((), jnp.float32)
     if fused_ce and getattr(cfg, "num_experts", 1) <= 1 and cfg.norm_type == "rmsnorm":
@@ -34,7 +35,7 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
         from ...ops.fused_ce import fused_norm_head_ce
 
         hidden = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
-                             train=True, return_hidden=True)
+                             dropout_rng=dropout_rng, train=is_train, return_hidden=True)
         nll_sum, n_valid, n_correct = fused_norm_head_ce(
             hidden, params["norm"], params["head"]["kernel"], micro["labels"],
             eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
@@ -43,7 +44,8 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
         ce_loss = nll_sum / jnp.maximum(n_valid, 1)
         return ce_loss, (ce_loss, n_valid, n_correct, moe_loss)
 
-    out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"], train=True)
+    out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
+                      dropout_rng=dropout_rng, train=is_train)
     if isinstance(out, tuple):  # MoE models return (logits, {"moe": aux_loss})
         logits, aux = out
         moe_loss = aux.get("moe", moe_loss)
@@ -75,21 +77,39 @@ def make_train_step(
     runs over the leading micro axis.
     """
 
+    # stochastic layers (residual dropout, MoE gate jitter/RTS) draw from a
+    # stream keyed on (base seed, optimizer step, micro index, layer index) —
+    # the stateless analogue of the reference SeedManager's advancing per-mode
+    # streams.  jax_threefry_partitionable makes every draw a function of the
+    # LOGICAL element index, so masks are identical across tp/sp topologies.
+    cfg = model.config
+    stochastic = (getattr(cfg, "drop_rate", 0.0) > 0.0
+                  or (getattr(cfg, "num_experts", 1) > 1 and getattr(cfg, "moe_use_rts", True)))
+    if stochastic:
+        from ..context import gpc
+
+        base_rng = gpc.rng("dropout")
+
     def train_step(params, opt_state, batch, lr, beta2):
         micro_num = batch["input_ids"].shape[0]
         scale = opt_state["grad_scale"]
+        step_rng = (jax.random.fold_in(base_rng, opt_state["step"].astype(jnp.int32))
+                    if stochastic else None)
 
-        def micro_grad(p, micro):
+        def micro_grad(p, micro, rng):
             def scaled_loss_fn(p_):
-                loss, metrics = _micro_loss_and_metrics(model, p_, micro, label_smoothing, moe_loss_coeff)
+                loss, metrics = _micro_loss_and_metrics(model, p_, micro, label_smoothing,
+                                                        moe_loss_coeff, dropout_rng=rng)
                 return loss * scale / micro_num, metrics
 
             grads, metrics = jax.grad(scaled_loss_fn, has_aux=True)(p)
             return grads, metrics
 
-        def scan_body(carry, micro):
+        def scan_body(carry, xs):
+            micro, midx = xs
             grads_acc, loss_acc, tok_acc, correct_acc, moe_acc = carry
-            grads, (loss, n_valid, n_correct, moe_loss) = micro_grad(params, micro)
+            rng = jax.random.fold_in(step_rng, midx) if stochastic else None
+            grads, (loss, n_valid, n_correct, moe_loss) = micro_grad(params, micro, rng)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             return (grads_acc, loss_acc + loss, tok_acc + n_valid,
                     correct_acc + n_correct, moe_acc + moe_loss), None
@@ -97,7 +117,8 @@ def make_train_step(
         zero_grads = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
         init = (zero_grads, jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
                 jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
-        (grads, loss_sum, n_tokens, n_correct, moe_sum), _ = jax.lax.scan(scan_body, init, batch)
+        (grads, loss_sum, n_tokens, n_correct, moe_sum), _ = jax.lax.scan(
+            scan_body, init, (batch, jnp.arange(micro_num, dtype=jnp.int32)))
 
         new_params, new_opt_state, stats = optimizer_step(
             params, grads, opt_state, lr, beta2, adam_cfg=adam_cfg, scaler_cfg=scaler_cfg
@@ -127,7 +148,7 @@ def make_eval_step(model: ModelDef, label_smoothing: float = 0.0) -> Callable:
 
     def eval_step(params, batch):
         loss, (ce_loss, n_valid, n_correct, _moe) = _micro_loss_and_metrics(
-            model, params, batch, label_smoothing)
+            model, params, batch, label_smoothing, is_train=False)
         return {"loss": ce_loss, "n_tokens": n_valid, "n_correct": n_correct}
 
     return jax.jit(eval_step)

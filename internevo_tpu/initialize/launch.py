@@ -68,16 +68,24 @@ def args_sanity_check() -> None:
     assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp", "rsp"), parallel.tensor.mode
     if parallel.weight.get("size", 1) > 1:
         assert parallel.tensor.mode == "isp", "weight parallel requires isp (ref launch.py:383-384)"
-    # per-mode RNG parity guard (reference seeds dropout with tp-OFFSET streams,
-    # core/context/random.py:16; our single deterministic key would give every
-    # tp rank the same dropout mask).  Shipped configs run drop_rate=0; fail
-    # loudly rather than silently diverge if someone enables it with tp > 1.
+    # dropout semantics (reference SeedManager tp-offset streams,
+    # core/context/random.py:16): residual dropout is supported on every GSPMD
+    # topology — jax_threefry_partitionable makes the mask a function of the
+    # LOGICAL element index, so tp/sp shards draw decorrelated bits and the
+    # loss is partition-invariant (stronger than the reference's per-rank
+    # streams, which only decorrelate).  The manual-collective pipeline path
+    # does not thread an rng, and the splash kernel has no in-kernel
+    # probability dropout (reference flash-attn attn_drop) — fail loudly there.
     model_cfg = cfg.get("model", {})
-    drop = float(model_cfg.get("drop_rate", 0.0) or 0.0) + float(model_cfg.get("attn_drop_rate", 0.0) or 0.0)
-    if drop > 0.0 and parallel.tensor.get("size", 1) > 1:
+    if float(model_cfg.get("attn_drop_rate", 0.0) or 0.0) > 0.0:
         raise NotImplementedError(
-            "dropout with tensor parallelism needs per-mode RNG streams "
-            "(reference SeedManager tp-offset seeds); set drop_rate=0 or tp=1")
+            "attention-probability dropout is not implemented in the splash "
+            "kernel; set attn_drop_rate=0 (shipped reference configs use 0)")
+    if (float(model_cfg.get("drop_rate", 0.0) or 0.0) > 0.0
+            and parallel.pipeline.get("size", 1) > 1):
+        raise NotImplementedError(
+            "residual dropout is not threaded through the manual pipeline "
+            "schedule; set drop_rate=0 or pipeline.size=1")
 
     # ---- model defaults
     model = cfg.setdefault("model", Config())

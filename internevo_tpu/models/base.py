@@ -427,23 +427,33 @@ def model_forward(
     the pre-final-norm hidden states when ``return_hidden`` (the fused
     norm+head+CE path consumes those, see ``ops/fused_ce.py``).
 
-    ``block_fn(layer_params, x) -> x`` overrides the block body (MoE models).
+    ``block_fn(layer_params, x, dropout_rng) -> x`` overrides the block body.
     """
     x = embed_tokens(cfg, params, input_ids)
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)  # stable scan-carry dtype for the fp32 stream
 
+    # residual dropout: every layer draws from its own stream (reference
+    # SeedManager keeps distinct per-mode streams that ADVANCE per call; here
+    # the layer index is folded into the key, same decorrelation stateless)
+    drop_active = train and cfg.drop_rate > 0.0 and dropout_rng is not None
+
     if block_fn is None:
-        def block_fn(layer, h):  # noqa: F811
-            return block_forward(cfg, layer, h, positions, segment_ids, dropout_rng, train)
+        def block_fn(layer, h, rng=None):  # noqa: F811
+            return block_forward(cfg, layer, h, positions, segment_ids, rng, train)
 
     n_ckpt = int(cfg.num_layers * cfg.checkpoint)
 
     def make_scan(body, remat_policy):
         wrapped = jax.checkpoint(body, policy=remat_policy, prevent_cse=False)
 
-        def scan_body(h, layer):
-            return wrapped(layer, h), None
+        if drop_active:
+            def scan_body(h, xs):
+                layer, idx = xs
+                return wrapped(layer, h, jax.random.fold_in(dropout_rng, idx)), None
+        else:
+            def scan_body(h, layer):
+                return wrapped(layer, h, None), None
 
         return scan_body
 
@@ -465,13 +475,15 @@ def model_forward(
         full_policy = jax.checkpoint_policies.save_and_offload_only_these_names(
             names_which_can_be_saved=[], names_which_can_be_offloaded=["flash_ctx"],
             offload_src="device", offload_dst="pinned_host")
-    full = make_scan(lambda l, h: block_fn(l, h), full_policy)
+    full = make_scan(lambda l, h, r: block_fn(l, h, r), full_policy)
     light = make_scan(
-        lambda l, h: block_fn(l, h),
+        lambda l, h, r: block_fn(l, h, r),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
     )
 
     blocks = params["blocks"]
+    if drop_active:  # pair each layer with its index for per-layer rng folding
+        blocks = (blocks, jnp.arange(cfg.num_layers, dtype=jnp.int32))
     # unrolling the layer scan amortizes the stacked per-layer grad buffer
     # updates in the backward pass (the rolled loop's dynamic-update-slice
     # re-materializes the whole (L, ...) buffer every iteration — measured

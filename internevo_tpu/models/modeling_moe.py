@@ -103,12 +103,12 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
 
-    def moe_ffn(layer, h):
+    def moe_ffn(layer, h, rng):
         if cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock"):
             from .moe.dropless import dropless_moe_apply
 
             out, l_aux, _counts = dropless_moe_apply(
-                layer["moe"], h, top_k=cfg.top_k, rng=dropout_rng, train=train)
+                layer["moe"], h, top_k=cfg.top_k, rng=rng, train=train)
             return _residual_branch(layer, h, out), l_aux
         out, l_aux, _counts = moe_layer_apply(
             layer["moe"], h,
@@ -118,7 +118,7 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
             drop_tokens=cfg.moe_drop_tokens,
             use_rts=cfg.moe_use_rts,
             noisy_gate_policy=None,
-            rng=dropout_rng,
+            rng=rng,
             train=train,
         )
         return _residual_branch(layer, h, out), l_aux
@@ -132,20 +132,25 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
             out = out * coef[..., 0:1].astype(out.dtype) + dense_out * coef[..., 1:].astype(out.dtype)
         return out
 
-    def scan_body(carry, layer):
+    def scan_body(carry, xs):
+        layer, idx = xs
         h, moe_loss = carry
+        # per-layer dropout/gate-jitter stream (same folding as model_forward)
+        rng = jax.random.fold_in(dropout_rng, idx) if dropout_rng is not None else None
         h_new, l_aux = block_forward(
-            cfg, layer, h, positions, segment_ids, dropout_rng, train,
-            ffn=lambda hh: moe_ffn(layer, hh),
+            cfg, layer, h, positions, segment_ids, rng, train,
+            ffn=lambda hh: moe_ffn(layer, hh, rng),
         )
         return (h_new, moe_loss + l_aux), None
 
     ckpt_body = jax.checkpoint(
-        lambda carry, layer: scan_body(carry, layer),
+        lambda carry, xs: scan_body(carry, xs),
         policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
         prevent_cse=False,
     )
-    (x, moe_loss), _ = jax.lax.scan(ckpt_body, (x, jnp.zeros((), jnp.float32)), params["blocks"])
+    (x, moe_loss), _ = jax.lax.scan(
+        ckpt_body, (x, jnp.zeros((), jnp.float32)),
+        (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32)))
     logits = head_logits(cfg, params, x)
     return logits, {"moe": moe_loss / cfg.num_layers}
 

@@ -276,6 +276,10 @@ def _fwd_kernel(
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
+        if not (causal or use_segments):  # no mask source: every block is plain
+            update(s, False)
+            return
+
         @pl.when(mask_f[b, t] == 1)
         def _masked():
             update(s, True)
@@ -394,8 +398,8 @@ def _dq_kernel(
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
-        do = do_ref[0, 0, :, :].astype(jnp.float32)
-        lse = lse_ref[0, 0, :, :1]
+        do = do_ref[0, 0, :, :]  # keep bf16: MXU inputs stay low-precision,
+        lse = lse_ref[0, 0, :, :1]  # accumulation is f32 via preferred_element_type
         delta = delta_ref[0, 0, :, :1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
@@ -410,14 +414,18 @@ def _dq_kernel(
                 sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
                 mask = sm if mask is None else jnp.logical_and(mask, sm)
             p = jnp.where(mask, p, 0.0)
-        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta.astype(jnp.float32)) * scale
         dq_sc[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
     @pl.when(run_f[b, t] == 1)
     def _():
+        if not (causal or use_segments):
+            compute(False)
+            return
+
         @pl.when(mask_f[b, t] == 1)
         def _masked():
             compute(True)
@@ -455,7 +463,7 @@ def _dkv_kernel(
         q = q_ref[0, 0, :, :]
         k = k_ref[0, 0, :, :]
         v = v_ref[0, 0, :, :]
-        do = do_ref[0, 0, :, :].astype(jnp.float32)
+        do = do_ref[0, 0, :, :]  # bf16 MXU inputs, f32 accumulation
         lse = lse_ref[0, 0, :, :1]
         delta = delta_ref[0, 0, :, :1]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
@@ -473,14 +481,18 @@ def _dkv_kernel(
             p = jnp.where(mask, p, 0.0)
         dv_sc[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v.astype(jnp.float32), (((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta) * scale
+        ds = p * (dp - delta.astype(jnp.float32)) * scale
         dk_sc[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
 
     @pl.when(run_f[b, t] == 1)
     def _():
+        if not (causal or use_segments):
+            compute(False)
+            return
+
         @pl.when(mask_f[b, t] == 1)
         def _masked():
             compute(True)
