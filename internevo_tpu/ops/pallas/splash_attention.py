@@ -40,6 +40,7 @@ innermost grid dim.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -216,7 +217,93 @@ def _broadcast_segs(q_seg, kv_seg, B, S, Sk):
     return q_seg_b, kv_seg_b
 
 
+def _compiler_params(interpret: bool):
+    if interpret:
+        return None
+    # the head-grouped working set deliberately exceeds the 16MB default
+    # scoped-vmem limit; v5e has 128MB of physical VMEM
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(os.environ.get("IEVO_FLASH_VMEM_LIMIT_MB", "100")) * 2**20)
+
+
+def _pick_kv_group(Hkv: int, q_per_kv: int, block_q: int, block_k: int, D: int) -> int:
+    """kv heads processed per grid step.
+
+    Grouping heads into the BLOCK instead of the grid divides the fixed
+    per-grid-step cost (measured ~3us on v5e — as much as 60% of a 1024^2
+    compute block) by the group size: dead schedule-slack steps and the
+    scalar-core work repeat per grid step, and the kv fetch + mask build are
+    shared by the whole group.  Bounded by a VMEM budget: the fwd/dq working
+    set is ~6 (q/do/dq/out double-buffered bf16 + f32 acc) G-head q-sized
+    buffers plus 4 kv-sized ones."""
+    if os.environ.get("IEVO_FLASH_GK"):
+        want = int(os.environ["IEVO_FLASH_GK"])
+        while Hkv % want:
+            want -= 1
+        return max(want, 1)
+    budget = int(os.environ.get("IEVO_FLASH_VMEM_MB", "10")) * 2**20
+    for gk in (8, 4, 2, 1):
+        if Hkv % gk:
+            continue
+        G = gk * q_per_kv
+        est = (6 * G * block_q * D * 2
+               + 4 * gk * block_k * D * 2
+               + 2 * block_q * LANES * 4)
+        if est <= budget:
+            return gk
+    return 1
+
+
+def _pick_kv_group_bwd(Hkv: int, q_per_kv: int, S: int, block_q: int,
+                       block_k: int, D: int) -> int:
+    """Group size for the fused backward.  Unlike the forward (which measures
+    fastest at the smallest group that amortizes the grid-step cost), the
+    backward WANTS large groups: per-(b, group) grid steps halve, the
+    init/finalize of the dk/dv accumulators amortize, and more per-step chains
+    feed the depth-1 MXU/VPU software pipeline (gk=2 measured 22% faster than
+    gk=1 at 7B bench shapes).  Bounded by the VMEM the full-sequence dq stripe
+    + double-buffered q/do blocks consume."""
+    if os.environ.get("IEVO_FLASH_GK_BWD"):
+        want = int(os.environ["IEVO_FLASH_GK_BWD"])
+        while Hkv % want:
+            want -= 1
+        return max(want, 1)
+    # NB: the estimate undercounts per-chain (bq, bk) f32 intermediates; 56MB
+    # keeps the real allocation safely under the 100MB scoped-vmem limit (gk=8
+    # at MHA 4096-seq shapes measured 105MB and was rejected by Mosaic).
+    # gk=2 measured fastest everywhere (GQA 32q/8kv AND MHA, micro + e2e MFU);
+    # wider groups get slower (VMEM pressure serializes double-buffering), and
+    # G caps at 8 chains.  IEVO_FLASH_GK_BWD overrides for re-tuning.
+    budget = int(os.environ.get("IEVO_FLASH_VMEM_MB_BWD", "56")) * 2**20
+    for gk in (2, 1):
+        if Hkv % gk or gk * q_per_kv > 8:
+            continue
+        G = gk * q_per_kv
+        est = (G * S * D * (4 + 2 * 2)        # dq f32 stripe + dq out buffers
+               + 4 * G * block_q * D * 2      # q/do double-buffered
+               + 4 * gk * block_k * D * 2     # k/v double-buffered
+               + 4 * gk * D * block_k * 4)    # dkT/dvT scratch + out buffers
+        if est <= budget:
+            return gk
+    return 1
+
+
 # ------------------------------------------------------------------ forward
+
+
+def _block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal, use_segments,
+                block_q, block_k):
+    """Elementwise (block_q, block_k) mask, built ONCE per grid step and shared
+    by every head in the group."""
+    mask = None
+    if causal:
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
+        mask = rows >= cols
+    if use_segments:
+        sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
+        mask = sm if mask is None else jnp.logical_and(mask, sm)
+    return mask
 
 
 def _fwd_kernel(
@@ -229,10 +316,11 @@ def _fwd_kernel(
     # scratch
     acc_sc, m_sc, l_sc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
-    use_segments: bool,
+    use_segments: bool, q_per_kv: int, gk: int,
 ):
     t = pl.program_id(2)
     b = pl.program_id(0)
+    R = q_per_kv * block_q  # q rows sharing one kv head, concatenated
 
     @pl.when(j_of[t] == 0)
     def _init():
@@ -243,18 +331,12 @@ def _fwd_kernel(
     q_start = iq_of[t] * block_q
     k_start = kvblk[b, t] * block_k
 
-    def update(s, needs_mask):
+    def update(g, s, mask, needs_mask):
         if needs_mask:
-            mask = None
-            if causal:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
-                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-                mask = rows >= cols
-            if use_segments:
-                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
-                mask = sm if mask is None else jnp.logical_and(mask, sm)
-            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
-        m_prev = m_sc[:, :1]
+            s = jnp.where(mask[None], s.reshape(q_per_kv, block_q, block_k),
+                          DEFAULT_MASK_VALUE).reshape(R, block_k)
+        rows = slice(g * R, (g + 1) * R)
+        m_prev = m_sc[rows, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         p = jnp.exp(s - m_new)
@@ -262,44 +344,49 @@ def _fwd_kernel(
             # rows with no unmasked entry yet: keep l == 0 (zeros, -inf lse)
             p = jnp.where(m_new > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
         correction = jnp.exp(m_prev - m_new)
-        l_new = l_sc[:, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
-        v = v_ref[0, 0, :, :]
+        l_new = l_sc[rows, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, g, :, :]
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        acc_sc[:] = acc_sc[:] * correction + pv
-        m_sc[:] = jnp.broadcast_to(m_new, m_sc.shape)
-        l_sc[:] = jnp.broadcast_to(l_new, l_sc.shape)
+        acc_sc[rows, :] = acc_sc[rows, :] * correction + pv
+        m_sc[rows, :] = jnp.broadcast_to(m_new, (R, m_sc.shape[1]))
+        l_sc[rows, :] = jnp.broadcast_to(l_new, (R, l_sc.shape[1]))
 
-    def compute():
-        q = q_ref[0, 0, :, :]
-        k = k_ref[0, 0, :, :]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+    def compute(needs_mask):
+        mask = (_block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal,
+                            use_segments, block_q, block_k)
+                if needs_mask else None)
+        for g in range(gk):
+            q = q_ref[0, g * q_per_kv:(g + 1) * q_per_kv].reshape(R, -1)
+            k = k_ref[0, g, :, :]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            update(g, s, mask, needs_mask)
 
+    @pl.when(run_f[b, t] == 1)
+    def _():
         if not (causal or use_segments):  # no mask source: every block is plain
-            update(s, False)
+            compute(False)
             return
 
         @pl.when(mask_f[b, t] == 1)
         def _masked():
-            update(s, True)
+            compute(True)
 
         @pl.when(mask_f[b, t] == 0)
         def _plain():
-            update(s, False)
-
-    @pl.when(run_f[b, t] == 1)
-    def _():
-        compute()
+            compute(False)
 
     @pl.when(last_of[t] == 1)
     def _finalize():
+        G = gk * q_per_kv
         l = l_sc[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0, :, :] = (acc_sc[:] / l_safe).astype(o_ref.dtype)
+        o_ref[0] = (acc_sc[:] / l_safe).reshape(G, block_q, -1).astype(o_ref.dtype)
         m = m_sc[:, :1]
         lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
-        lse_ref[0, 0, :, :] = jnp.broadcast_to(lse, (lse.shape[0], SUBLANES))
+        lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], SUBLANES)).reshape(
+            G, block_q, SUBLANES)
 
 
 def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
@@ -329,41 +416,44 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
                                         block_q, block_k, causal, use_segments, nq, nk)
     q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
 
+    gk = _pick_kv_group(Hkv, q_per_kv, block_q, block_k, D)
+    G = gk * q_per_kv
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, use_segments=use_segments)
+        block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk)
 
-    def kv_idx(b, h, t, iq_of, j_of, last_of, kvblk, run_f, mask_f):
-        return (b, h // q_per_kv, kvblk[b, t], 0)
+    def kv_idx(b, hg, t, iq_of, j_of, last_of, kvblk, run_f, mask_f):
+        return (b, hg, kvblk[b, t], 0)
+
+    def q_idx(b, hg, t, *s):
+        return (b, hg, s[0][t], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(B, Hq, T),
+        grid=(B, Hq // G, T),
         in_specs=[
             pl.BlockSpec((1, block_q, LANES),
-                         lambda b, h, t, *s: (b, s[0][t], 0)),
+                         lambda b, hg, t, *s: (b, s[0][t], 0)),
             pl.BlockSpec((1, SUBLANES, block_k),
-                         lambda b, h, t, *s: (b, 0, s[3][b, t])),
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx),
+                         lambda b, hg, t, *s: (b, 0, s[3][b, t])),
+            pl.BlockSpec((1, G, block_q, D), q_idx),
+            pl.BlockSpec((1, gk, block_k, D), kv_idx),
+            pl.BlockSpec((1, gk, block_k, D), kv_idx),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, D),
-                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
-            pl.BlockSpec((1, 1, block_q, SUBLANES),
-                         lambda b, h, t, *s: (b, h, s[0][t], 0)),
+            pl.BlockSpec((1, G, block_q, D), q_idx),
+            pl.BlockSpec((1, G, block_q, SUBLANES), q_idx),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, D), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
-            pltpu.VMEM((block_q, LANES), jnp.float32),
+            pltpu.VMEM((G * block_q, D), jnp.float32),
+            pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
+            pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        compiler_params=_compiler_params(interpret),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
             jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32),
@@ -376,49 +466,99 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 # ----------------------------------------------------------------- backward
 
 
-def _dq_kernel(
-    iq_of, j_of, last_of, kvblk, run_f, mask_f,
+def _bwd_kernel(
+    ik_of, j_of, last_of, qblk, run_f, mask_f,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    dq_sc,
+    dq_ref, dk_ref, dv_ref,
+    dq_sc, dk_sc, dv_sc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
-    use_segments: bool,
+    use_segments: bool, q_per_kv: int, gk: int, n_steps: int,
 ):
+    """Fused flash backward: dq, dk and dv in ONE kernel over the kv-major
+    (ik -> q window) schedule, so s/p/dp are computed once per visited block
+    pair (5 matmuls instead of the 7 a dq/dkv kernel split pays) and the
+    exp/mask VPU work runs once.  GPU flash kernels split because dq would
+    need cross-block atomics; here the WHOLE per-(b, head group) dq stripe
+    (G, S, D) f32 lives in VMEM scratch across the t loop (v5e has 128MB of
+    VMEM) and is flushed to the output once, at the stripe's last step —
+    no dq-partials HBM traffic (the official splash kernel's fused mode
+    materializes (nk, B, H, S, D) partials and reduces them outside)."""
     t = pl.program_id(2)
     b = pl.program_id(0)
+    R = q_per_kv * block_q  # the whole GQA group's q rows, concatenated
 
-    @pl.when(j_of[t] == 0)
-    def _init():
+    @pl.when(t == 0)
+    def _init_dq():
         dq_sc[:] = jnp.zeros_like(dq_sc)
 
-    q_start = iq_of[t] * block_q
-    k_start = kvblk[b, t] * block_k
+    @pl.when(j_of[t] == 0)
+    def _init_dkv():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q_start = qblk[b, t] * block_q
+    k_start = ik_of[t] * block_k
 
     def compute(needs_mask):
-        q = q_ref[0, 0, :, :]
-        k = k_ref[0, 0, :, :]
-        v = v_ref[0, 0, :, :]
-        do = do_ref[0, 0, :, :]  # keep bf16: MXU inputs stay low-precision,
-        lse = lse_ref[0, 0, :, :1]  # accumulation is f32 via preferred_element_type
-        delta = delta_ref[0, 0, :, :1]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)
-        if needs_mask:
-            mask = None
-            if causal:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
-                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-                mask = rows >= cols
-            if use_segments:
-                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
-                mask = sm if mask is None else jnp.logical_and(mask, sm)
-            p = jnp.where(mask, p, 0.0)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta.astype(jnp.float32)) * scale
-        dq_sc[:] += jax.lax.dot_general(ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
+        # Depth-1 software pipeline over per-head chains: each chain's MXU
+        # head (s = q k^T and dp = do v^T — dp does not depend on p) is issued
+        # BEFORE the previous chain's exp/mask VPU phase, so the in-order
+        # issue stream keeps the MXU busy while the VPU works (the units
+        # retire asynchronously).  Keeping chains at block_q rows also bounds
+        # live f32 intermediates to ~2 chains (VMEM).
+        mask = (_block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal,
+                            use_segments, block_q, block_k)
+                if needs_mask else None)
+        chains = [(g, h) for g in range(gk) for h in range(q_per_kv)]
+
+        def head_mxu(ci):
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            q = q_ref[0, hq, :, :]
+            do = do_ref[0, hq, :, :]
+            s_ = jax.lax.dot_general(q, k_ref[0, g, :, :], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * scale
+            dp = jax.lax.dot_general(do, v_ref[0, g, :, :], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return s_, dp
+
+        def vpu_mid(ci, s_, dp):
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            lse = lse_ref[0, hq, :, :1]
+            delta = delta_ref[0, hq, :, :1]
+            p = jnp.exp(s_ - lse)
+            if needs_mask:
+                p = jnp.where(mask, p, 0.0)
+            ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+            return p.astype(do_ref.dtype), ds
+
+        def tail_mxu(ci, pb, ds):
+            # dk/dv are accumulated TRANSPOSED (D-major): dv^T = do^T @ p puts
+            # the contraction on dim 0 of the small (block_q, D) operand, so
+            # Mosaic relayouts a (bq, 128) tile instead of the (bq, bk) p/ds
+            # blocks (8x less transpose work per step); the (D, Sk) outputs
+            # are flipped back by XLA outside the kernel at HBM bandwidth.
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            D = q_ref.shape[-1]
+            drows = slice(g * D, (g + 1) * D)
+            dv_sc[drows, :] += jax.lax.dot_general(
+                do_ref[0, hq, :, :], pb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_sc[drows, :] += jax.lax.dot_general(
+                q_ref[0, hq, :, :], ds, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_sc[hq, pl.ds(q_start, block_q), :] += jax.lax.dot_general(
+                ds, k_ref[0, g, :, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        pending = head_mxu(0)
+        for ci in range(len(chains)):
+            nxt = head_mxu(ci + 1) if ci + 1 < len(chains) else None
+            pb, ds = vpu_mid(ci, *pending)
+            tail_mxu(ci, pb, ds)
+            pending = nxt
 
     @pl.when(run_f[b, t] == 1)
     def _():
@@ -435,76 +575,14 @@ def _dq_kernel(
             compute(False)
 
     @pl.when(last_of[t] == 1)
-    def _finalize():
-        dq_ref[0, 0, :, :] = dq_sc[:].astype(dq_ref.dtype)
+    def _finalize_dkv():
+        D = q_ref.shape[-1]
+        dk_ref[0] = dk_sc[:].reshape(gk, D, block_k).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].reshape(gk, D, block_k).astype(dv_ref.dtype)
 
-
-def _dkv_kernel(
-    ik_of, j_of, last_of, qblk, run_f, mask_f,
-    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_sc, dv_sc,
-    *, scale: float, causal: bool, block_q: int, block_k: int,
-    use_segments: bool, q_per_kv: int,
-):
-    t = pl.program_id(2)
-    g = pl.program_id(3)
-    b = pl.program_id(0)
-
-    @pl.when(jnp.logical_and(j_of[t] == 0, g == 0))
-    def _init():
-        dk_sc[:] = jnp.zeros_like(dk_sc)
-        dv_sc[:] = jnp.zeros_like(dv_sc)
-
-    q_start = qblk[b, t] * block_q
-    k_start = ik_of[t] * block_k
-
-    def compute(needs_mask):
-        q = q_ref[0, 0, :, :]
-        k = k_ref[0, 0, :, :]
-        v = v_ref[0, 0, :, :]
-        do = do_ref[0, 0, :, :]  # bf16 MXU inputs, f32 accumulation
-        lse = lse_ref[0, 0, :, :1]
-        delta = delta_ref[0, 0, :, :1]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)
-        if needs_mask:
-            mask = None
-            if causal:
-                rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) + q_start
-                cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + k_start
-                mask = rows >= cols
-            if use_segments:
-                sm = q_seg_ref[0, :, 0][:, None] == kv_seg_ref[0, 0, :][None, :]
-                mask = sm if mask is None else jnp.logical_and(mask, sm)
-            p = jnp.where(mask, p, 0.0)
-        dv_sc[:] += jax.lax.dot_general(p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        ds = p * (dp - delta.astype(jnp.float32)) * scale
-        dk_sc[:] += jax.lax.dot_general(ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-
-    @pl.when(run_f[b, t] == 1)
-    def _():
-        if not (causal or use_segments):
-            compute(False)
-            return
-
-        @pl.when(mask_f[b, t] == 1)
-        def _masked():
-            compute(True)
-
-        @pl.when(mask_f[b, t] == 0)
-        def _plain():
-            compute(False)
-
-    @pl.when(jnp.logical_and(last_of[t] == 1, g == q_per_kv - 1))
-    def _finalize():
-        dk_ref[0, 0, :, :] = dk_sc[:].astype(dk_ref.dtype)
-        dv_ref[0, 0, :, :] = dv_sc[:].astype(dv_ref.dtype)
+    @pl.when(t == n_steps - 1)
+    def _finalize_dq():
+        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
 
 
 def _splash_backward(res, g, *, scale, causal, block_q, block_k,
@@ -519,14 +597,12 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         max_segment_len = None
     use_segments = q_seg is not None
     if use_segments and not cross_kv:
-        kv_lo, q_hi = _segment_windows(q_seg, kv_seg, block_q, block_k)
+        _, q_hi = _segment_windows(q_seg, kv_seg, block_q, block_k)
     elif use_segments:
-        kv_lo = jnp.zeros((B, nq), jnp.int32)
         q_hi = jnp.full((B, nk), nq - 1, jnp.int32)
     else:
         q_seg = jnp.zeros((B, S), jnp.int32)
         kv_seg = jnp.zeros((B, Sk), jnp.int32)
-        kv_lo = jnp.zeros((B, nq), jnp.int32)
         q_hi = jnp.full((B, nk), nq - 1, jnp.int32)
 
     delta = jnp.einsum("bhsd,bhsd->bhs", do.astype(jnp.float32), out.astype(jnp.float32))
@@ -534,88 +610,66 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         delta = delta - dlse.astype(jnp.float32)
     delta = jax.lax.broadcast_in_dim(delta, (B, Hq, S, SUBLANES), (0, 1, 2))
 
-    iq_of, j_of, last_of = _fwd_layout(S, Sk, block_q, block_k, causal,
-                                       max_segment_len, use_segments)
-    T = len(iq_of)
-    kvblk, run_f, mask_f = _fwd_control(q_seg, kv_seg, kv_lo, iq_of, j_of,
-                                        block_q, block_k, causal, use_segments, nq, nk)
     q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
 
-    def kv_idx(b, h, t, *s):
-        return (b, h // q_per_kv, s[3][b, t], 0)
-
-    def q_idx4(b, h, t, *s):
-        return (b, h, s[0][t], 0)
-
-    dq_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(B, Hq, T),
-        in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda b, h, t, *s: (b, s[0][t], 0)),
-            pl.BlockSpec((1, SUBLANES, block_k), lambda b, h, t, *s: (b, 0, s[3][b, t])),
-            pl.BlockSpec((1, 1, block_q, D), q_idx4),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx),
-            pl.BlockSpec((1, 1, block_q, D), q_idx4),
-            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx4),
-            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx4),
-        ],
-        out_specs=[pl.BlockSpec((1, 1, block_q, D), q_idx4)],
-        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
-    )
-    dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale, causal=causal, block_q=block_q,
-                          block_k=block_k, use_segments=use_segments),
-        grid_spec=dq_spec,
-        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
-        interpret=interpret,
-    )(iq_of, j_of, last_of, kvblk, run_f, mask_f,
-      q_seg_b, kv_seg_b, q, k, v, do, lse, delta)[0]
+    gk = _pick_kv_group_bwd(Hkv, q_per_kv, S, block_q, block_k, D)
+    G = gk * q_per_kv
 
     ik_of, jk_of, lastk_of = _dkv_layout(S, Sk, block_q, block_k, causal,
                                          max_segment_len, use_segments)
     qblk, runk_f, maskk_f = _dkv_control(q_seg, kv_seg, q_hi, ik_of, jk_of,
                                          block_q, block_k, causal, use_segments, nq, nk)
+    Tk = len(ik_of)
 
-    def kv_idx2(b, hk, t, g, *s):
-        return (b, hk, s[0][t], 0)
+    def kv_idx2(b, hg, t, *s):
+        return (b, hg, s[0][t], 0)
 
-    def q_idx2(b, hk, t, g, *s):
-        return (b, hk * q_per_kv + g, s[3][b, t], 0)
+    def kvT_idx2(b, hg, t, *s):
+        return (b, hg, 0, s[0][t])
 
-    dkv_spec = pltpu.PrefetchScalarGridSpec(
+    def q_idx2(b, hg, t, *s):
+        return (b, hg, s[3][b, t], 0)
+
+    bwd_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(B, Hkv, len(ik_of), q_per_kv),
+        grid=(B, Hkv // gk, Tk),
         in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda b, hk, t, g, *s: (b, s[3][b, t], 0)),
-            pl.BlockSpec((1, SUBLANES, block_k), lambda b, hk, t, g, *s: (b, 0, s[0][t])),
-            pl.BlockSpec((1, 1, block_q, D), q_idx2),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
-            pl.BlockSpec((1, 1, block_q, D), q_idx2),
-            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx2),
-            pl.BlockSpec((1, 1, block_q, SUBLANES), q_idx2),
+            pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
+            pl.BlockSpec((1, SUBLANES, block_k), lambda b, hg, t, *s: (b, 0, s[0][t])),
+            pl.BlockSpec((1, G, block_q, D), q_idx2),
+            pl.BlockSpec((1, gk, block_k, D), kv_idx2),
+            pl.BlockSpec((1, gk, block_k, D), kv_idx2),
+            pl.BlockSpec((1, G, block_q, D), q_idx2),
+            pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
+            pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
-            pl.BlockSpec((1, 1, block_k, D), kv_idx2),
+            pl.BlockSpec((1, G, S, D), lambda b, hg, t, *s: (b, hg, 0, 0)),
+            pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
+            pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, D), jnp.float32),
-            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((G, S, D), jnp.float32),
+            pltpu.VMEM((gk * D, block_k), jnp.float32),
+            pltpu.VMEM((gk * D, block_k), jnp.float32),
         ],
     )
-    dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale, causal=causal, block_q=block_q,
-                          block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv),
-        grid_spec=dkv_spec,
+    dq, dkT, dvT = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=block_q,
+                          block_k=block_k, use_segments=use_segments,
+                          q_per_kv=q_per_kv, gk=gk, n_steps=Tk),
+        grid_spec=bwd_spec,
+        compiler_params=_compiler_params(interpret),
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, D, Sk), k.dtype),
+            jax.ShapeDtypeStruct((B, Hkv, D, Sk), v.dtype),
         ],
         interpret=interpret,
     )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f,
       q_seg_b, kv_seg_b, q, k, v, do, lse, delta)
+    dk = dkT.transpose(0, 1, 3, 2)
+    dv = dvT.transpose(0, 1, 3, 2)
     return dq, dk, dv, None, None
 
 
@@ -652,8 +706,6 @@ def _splash_bwd(scale, causal, block_q, block_k, max_segment_len, interpret, res
 
 _splash.defvjp(_splash_fwd, _splash_bwd)
 
-
-import os
 
 _DEFAULT_BQ = int(os.environ.get("IEVO_FLASH_BQ", "1024"))  # measured best at packed-7B shapes
 _DEFAULT_BK = int(os.environ.get("IEVO_FLASH_BK", "1024"))
