@@ -71,6 +71,9 @@ def main():
                    num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
                    norm_type="rmsnorm", layer_norm_epsilon=1e-5),
         adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0, adam_eps=1e-8, weight_decay=0.01),
+        # save-ce-logits: skip the fused-CE logits recompute matmul in backward
+        # (+3.6pp MFU at 7B dims); both bench presets have the HBM headroom
+        loss=dict(label_smoothing=0, save_ce_logits=True, ce_chunk_size=2048),
         parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"), pipeline=dict(size=1), weight=dict(size=1)),
     )
     launch(config, seed=1024)

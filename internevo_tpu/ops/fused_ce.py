@@ -43,7 +43,16 @@ def fused_norm_head_ce(
 
     import os
 
-    chunk_size = chunk_size or int(os.environ.get("IEVO_CE_CHUNK", "512"))
+    cfg_loss = {}
+    try:
+        from ..core.context import gpc
+
+        if getattr(gpc, "config", None) is not None:
+            cfg_loss = dict(gpc.config.get("loss", {}))
+    except Exception:
+        pass
+    chunk_size = (chunk_size or int(os.environ.get("IEVO_CE_CHUNK", "0"))
+                  or int(cfg_loss.get("ce_chunk_size", 0)) or 512)
     chunk_size = min(chunk_size, tokens)
     # pad to a multiple of chunk_size with ignored labels
     rem = (-tokens) % chunk_size
@@ -61,9 +70,25 @@ def fused_norm_head_ce(
         norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
         w = (w / jax.lax.stop_gradient(norm + 1e-7)).astype(w.dtype)
 
+    # save-logits mode: keep each chunk's bf16 logits as a remat residual so
+    # the backward skips the logits recompute matmul (one full head matmul,
+    # ~18ms/step = +3.6pp MFU at 7B dims).  Costs tokens*V*2 bytes of HBM
+    # (845MB at 7B micro shapes) — opt in (config ``loss.save_ce_logits`` or
+    # env IEVO_CE_SAVE_LOGITS=1) where memory allows; default recomputes.
+    env_sl = os.environ.get("IEVO_CE_SAVE_LOGITS")
+    save_logits = (env_sl == "1") if env_sl is not None else bool(cfg_loss.get("save_ce_logits", False))
+
     def chunk_body(h_c, lab_c, w):
+        from jax.ad_checkpoint import checkpoint_name
+
         hn = rms_norm(h_c, norm_weight, eps=eps, out_dtype=h_c.dtype)
-        logits = jnp.dot(hn, w.astype(hn.dtype)).astype(jnp.float32)  # (c, V)
+        logits = jnp.dot(hn, w.astype(hn.dtype))  # (c, V) bf16
+        # NB: keep the dot bf16 and upcast after — preferred_element_type=f32
+        # here makes the recompute-mode backward drastically slower to compile
+        # at 7B dims (and the convert fuses into consumers anyway)
+        if save_logits:
+            logits = checkpoint_name(logits, "ce_logits")
+        logits = logits.astype(jnp.float32)
         valid = lab_c != -100
         safe = jnp.where(valid, lab_c, 0)
         lse = jax.nn.logsumexp(logits, axis=-1)
@@ -82,7 +107,12 @@ def fused_norm_head_ce(
             n_cor = jnp.zeros((), jnp.int32)
         return nll_sum, n_valid, n_cor
 
-    body = jax.checkpoint(chunk_body, prevent_cse=False)
+    if save_logits:
+        body = jax.checkpoint(
+            chunk_body, prevent_cse=False,
+            policy=jax.checkpoint_policies.save_only_these_names("ce_logits"))
+    else:
+        body = jax.checkpoint(chunk_body, prevent_cse=False)
 
     def scan_body(carry, xs):
         nll_acc, tok_acc, cor_acc = carry
