@@ -25,7 +25,9 @@ def build_step():
     from bench import build_bench_config
     from internevo_tpu.core.context import gpc
     from internevo_tpu.initialize.launch import launch
-    from internevo_tpu.train.pipeline import initialize_model
+    from internevo_tpu.train.pipeline import (
+        initialize_model, initialize_optimizer, initialize_trainer,
+    )
 
     preset = os.environ.get("IEVO_BENCH_PRESET", "7bshape")
     p = build_bench_config(preset)
@@ -39,6 +41,7 @@ def build_step():
                    norm_type="rmsnorm", layer_norm_epsilon=1e-5),
         adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
                   adam_eps=1e-8, weight_decay=0.01),
+        loss=dict(label_smoothing=0, save_ce_logits=True, ce_chunk_size=2048),
         parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
                       pipeline=dict(size=1), weight=dict(size=1)),
     )
@@ -58,6 +61,16 @@ def build_step():
         "indexes": jnp.asarray(np.tile(np.arange(seq, dtype=np.int32), (micro_num, dp, micro_bsz))),
         "labels": jnp.asarray(rng.randint(0, p["vocab"], (micro_num, dp, P_len), dtype=np.int32)),
     }
+
+    if not p.get("fwd_bwd_only"):
+        # full train step through the real trainer (grad accum + optimizer)
+        opt_state, lr_sched, beta2_sched = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lr_sched, beta2_sched)
+
+        def execute():
+            return trainer.execute_schedule(batch)
+
+        return execute, None, None
 
     def fb_step(params, batch):
         micro = {k: v[0] for k, v in batch.items()}
@@ -89,47 +102,53 @@ def family(name: str) -> str:
 
 def main():
     step, params, batch = build_step()
-    out = step(params, batch)
-    _ = float(out[0])  # compile + settle
+    if params is None:
+        run = step
+        sync = lambda out: float(out["loss"])
+    else:
+        run = lambda: step(params, batch)
+        sync = lambda out: float(out[0])
+    sync(run())  # compile + settle
+    sync(run())
 
     tracedir = "/tmp/ievo_profile"
     os.system(f"rm -rf {tracedir}")
     with jax.profiler.trace(tracedir):
         for _ in range(3):
-            out = step(params, batch)
-        _ = float(out[0])
+            out = run()
+        sync(out)
 
     planes = glob.glob(f"{tracedir}/**/*.xplane.pb", recursive=True)
     assert planes, f"no xplane under {tracedir}"
     from jax.profiler import ProfileData
 
     data = ProfileData.from_serialized_xspace(open(planes[-1], "rb").read())
-    per_op = defaultdict(float)
-    per_name = defaultdict(float)
-    total = 0.0
+    evs = []
     for plane in data.planes:
-        if "TPU" not in plane.name and "tpu" not in plane.name:
+        if plane.name != "/device:TPU:0":
             continue
         for line in plane.lines:
-            lname = line.name.lower()
-            # device op timelines: "XLA Ops" / step lines; skip host threads
-            if "op" not in lname and "step" not in lname and not lname.startswith("xla"):
-                continue
-            if "step" in lname:
+            if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                dur = ev.duration_ns / 1e6
-                per_op[family(ev.name)] += dur
-                per_name[ev.name] += dur
-                total += dur
-
-    print(f"\ntotal device op time over 3 steps: {total:.2f} ms  ({total/3:.2f} ms/step)")
-    print("\n== by family ==")
-    for k, v in sorted(per_op.items(), key=lambda kv: -kv[1])[:15]:
-        print(f"  {k:28s} {v/3:9.3f} ms/step  {100*v/total:5.1f}%")
-    print("\n== top 25 ops ==")
-    for k, v in sorted(per_name.items(), key=lambda kv: -kv[1])[:25]:
-        print(f"  {k[:90]:90s} {v/3:8.3f} ms/step")
+                evs.append((ev.start_ns, ev.start_ns + ev.duration_ns, ev.name))
+    evs.sort()
+    # exclusive time: while/call parents contain their body ops on the same
+    # timeline; subtract directly-nested children via a containment stack
+    exclusive = defaultdict(float)
+    stack = []
+    for s, e, name in evs:
+        while stack and stack[-1][1] <= s:
+            stack.pop()
+        if stack:
+            exclusive[stack[-1][2]] -= (e - s)
+        exclusive[name] += (e - s)
+        stack.append((s, e, name))
+    total = sum(exclusive.values())
+    print(f"\nexclusive device op time: {total/1e6/3:.2f} ms/step")
+    print("\n== top 35 ops (exclusive) ==")
+    for k, v in sorted(exclusive.items(), key=lambda kv: -kv[1])[:35]:
+        print(f"  {v/1e6/3:8.3f} ms/step {100*v/total:5.1f}%  {k[:105]}")
 
 
 if __name__ == "__main__":
