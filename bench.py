@@ -42,8 +42,12 @@ def build_bench_config(preset: str):
         # seq 4096 packed 2x2048): validates the splash kernel + fused CE at
         # flagship dimensions.  Full 7B adam state (14B/param) cannot fit one
         # 16GB v5e chip, so this preset benches fwd+bwd only (fwd_bwd_only).
+        # save_mlp: fwd_bwd_only leaves most of HBM free, so the remat
+        # policy also keeps the SwiGLU gate activations (700m cannot - the
+        # full adam state leaves no headroom and it OOMs)
         "7bshape": dict(hidden=4096, layers=4, heads=32, vocab=103168, seq=2048,
-                        micro_bsz=2, micro_num=1, ckpt=1.0, fwd_bwd_only=True),
+                        micro_bsz=2, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
+                        save_mlp=True),
         "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
     }
@@ -66,7 +70,9 @@ def main():
         model_type="INTERNLM",
         data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
                   total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
-        model=dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")), num_attention_heads=p["heads"], vocab_size=p["vocab"],
+        model=dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
+                   remat_save_mlp=os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0") == "1",
+                   num_attention_heads=p["heads"], vocab_size=p["vocab"],
                    embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
                    num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
                    norm_type="rmsnorm", layer_norm_epsilon=1e-5),
@@ -156,6 +162,11 @@ def main():
     )
     peak = device_peak_tflops()
     mfu = tflops / peak
+    # reference-identical accounting (utils/common.py:208-239): act-ckpt
+    # credits the recompute factor 4; remat policies that save residuals
+    # (attention out/lse, optionally MLP gates / CE logits) execute fewer
+    # flops than credited - tgs is the accounting-free throughput number
+    accounting = "megatron+ckpt4" if p["ckpt"] > 0 else "megatron"
 
     # on-chip bf16 golden loss pin for the default preset: the deterministic
     # seed/batch makes step-13 loss reproducible; drift beyond the bf16 noise
@@ -178,6 +189,7 @@ def main():
         "n_devices": n_dev,
         "loss": loss,
         "loss_golden_ok": loss_ok,
+        "flops_accounting": accounting,
     }))
 
 

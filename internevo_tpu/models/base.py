@@ -63,6 +63,9 @@ class ModelConfig:
     # memory instead of keeping it in HBM (reference activation_checkpoint.py
     # :40-272 CPU-offload path); trades PCIe/DMA bandwidth for HBM headroom
     activation_offload: bool = False
+    # under full remat, additionally save the SwiGLU w1/w3 outputs (skips 2 of
+    # 5 matmul recomputes per layer; ~184MB/layer at 700m-8k shapes)
+    remat_save_mlp: bool = False
     layer_norm_epsilon: float = 1e-5
     embed_grad_scale: float = 0.1
     parallel_output: bool = True
@@ -342,8 +345,10 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
 
 def mlp_block(cfg: ModelConfig, layer: dict, x: jax.Array):
     """SwiGLU: w2(silu(w1 x) * w3 x)  (``modules/mlp.py:84-88``)."""
-    w1o = _dense(x, layer["w1"]["kernel"], layer["w1"].get("bias"))
-    w3o = _dense(x, layer["w3"]["kernel"], layer["w3"].get("bias"))
+    from jax.ad_checkpoint import checkpoint_name
+
+    w1o = checkpoint_name(_dense(x, layer["w1"]["kernel"], layer["w1"].get("bias")), "mlp_w1o")
+    w3o = checkpoint_name(_dense(x, layer["w3"]["kernel"], layer["w3"].get("bias")), "mlp_w3o")
     return _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"], layer["w2"].get("bias"))
 
 
@@ -466,8 +471,12 @@ def model_forward(
     # save the flash kernel's (out, lse) residuals across full remat so the
     # backward never re-runs the forward attention kernel — ~33 MB/layer bf16
     # at 700M shapes for ~1.1 ms/layer of recompute
-    full_policy = jax.checkpoint_policies.save_only_these_names(
-        "flash_out", "flash_lse")
+    save_names = ["flash_out", "flash_lse"]
+    if cfg.remat_save_mlp:
+        # also save the two SwiGLU gate activations: skips 2 of the 5 matmul
+        # recomputes per fully-rematted layer for 2*S*mlp_hidden*2 bytes/layer
+        save_names += ["mlp_w1o", "mlp_w3o"]
+    full_policy = jax.checkpoint_policies.save_only_these_names(*save_names)
     if cfg.activation_offload:
         # keep the attention context, but in HOST memory (the reference's
         # activation-offload mode): backward re-runs everything except the

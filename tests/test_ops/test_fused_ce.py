@@ -67,3 +67,45 @@ def test_fused_padding_chunk():
                                            labels, chunk_size=48)
     np.testing.assert_allclose(float(nll_a), float(nll_b), rtol=1e-6)
     assert int(n_a) == int(n_b) and int(cor_a) == int(cor_b)
+
+
+def test_save_logits_mode_matches_recompute(monkeypatch):
+    """loss.save_ce_logits keeps bf16 logits as a remat residual instead of
+    recomputing them in backward — loss AND grads must be identical to the
+    recompute path (same bf16 logits either way)."""
+    cfg, params, ids, pos, seg, labels = _setup()
+    hidden = model_forward(cfg, params, ids, pos, seg, train=True, return_hidden=True)
+
+    def loss_fn(p):
+        nll, n_valid, _ = fused_norm_head_ce(
+            hidden, p["norm"], p["head"]["kernel"], labels, chunk_size=16)
+        return nll / jnp.maximum(n_valid, 1)
+
+    monkeypatch.setenv("IEVO_CE_SAVE_LOGITS", "0")
+    l_re, g_re = jax.value_and_grad(loss_fn)(params)
+    monkeypatch.setenv("IEVO_CE_SAVE_LOGITS", "1")
+    l_sv, g_sv = jax.value_and_grad(loss_fn)(params)
+    np.testing.assert_allclose(float(l_re), float(l_sv), rtol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7), g_re, g_sv)
+
+
+def test_remat_save_mlp_grads_match():
+    """model.remat_save_mlp only changes WHAT the remat policy saves — the
+    training grads must be unchanged."""
+    import dataclasses
+
+    cfg, params, ids, pos, seg, labels = _setup()
+    cfg = dataclasses.replace(cfg, checkpoint=1.0)  # engage full-remat policy
+    cfg_save = dataclasses.replace(cfg, remat_save_mlp=True)
+
+    def loss_with(cfg_):
+        def f(p):
+            logits = model_forward(cfg_, p, ids, pos, seg, train=True)
+            loss, _ = cross_entropy_loss(logits.reshape(-1, cfg.vocab_size), labels.reshape(-1))
+            return loss
+        return f
+
+    l1, g1 = jax.value_and_grad(loss_with(cfg))(params)
+    l2, g2 = jax.value_and_grad(loss_with(cfg_save))(params)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-7)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7), g1, g2)
