@@ -59,6 +59,8 @@ def main():
     if jax.default_backend() == "cpu" and "IEVO_BENCH_PRESET" not in os.environ:
         preset = "tiny"
     p = build_bench_config(preset)
+    if os.environ.get("IEVO_MICRO_BSZ"):
+        p["micro_bsz"] = int(os.environ["IEVO_MICRO_BSZ"])
 
     from internevo_tpu.core.context import gpc
     from internevo_tpu.initialize.launch import launch
