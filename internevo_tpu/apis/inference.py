@@ -5,10 +5,11 @@ with greedy / sampling / beam search (:188,:257,:477), ``InferenceParams``
 kv-cache (:13) updated inside attention (``multi_head_attention.py:240-294``),
 and top-k/top-p filtering (:925).
 
-TPU-native: the decode loop is a jitted single-token step over a static-shape
-ring of kv caches (L, B, max_len, Hkv, D); prefill is one forward over the
-padded prompt.  Python drives the loop (generation lengths are data-dependent);
-each step is one compiled program.
+TPU-native: prefill is one forward over the prompt; the WHOLE decode loop then
+runs on-device as a single jitted ``lax.while_loop`` (sampling, repetition
+penalty, eos tracking and the kv-cache update all inside) — one dispatch per
+generate() call instead of one per token, which matters when launch latency
+rivals the per-token compute (small models, remote dispatch).
 """
 
 from __future__ import annotations
@@ -117,13 +118,17 @@ def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
         return (mlp_out + residual).astype(cfg.dtype), (k_cache_l, v_cache_l)
 
     h = x
-    new_k, new_v = [], []
-    # python loop over layers: decode graphs are small; scan would also work
+    # python loop over layers: decode graphs are small; scan would also work.
+    # each layer's cache slice updates in place (dynamic_update_index_in_dim
+    # on the donated stacked buffer) — re-stacking copied the whole cache
+    # every decode step
     for lidx in range(cfg.num_layers):
         layer = jax.tree.map(lambda a: a[lidx], params["blocks"])
         h, (k_l, v_l) = layer_step(h, (layer, kv_cache["k"][lidx], kv_cache["v"][lidx]))
-        new_k.append(k_l)
-        new_v.append(v_l)
+        kv_cache = {
+            "k": jax.lax.dynamic_update_index_in_dim(kv_cache["k"], k_l, lidx, 0),
+            "v": jax.lax.dynamic_update_index_in_dim(kv_cache["v"], v_l, lidx, 0),
+        }
 
     other = {"norm": params["norm"], "head": params["head"]}
     if "norm_bias" in params:
@@ -134,7 +139,7 @@ def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
         norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
         w = (w / (norm + 1e-7)).astype(w.dtype)
     logits = jnp.dot(h, w.astype(h.dtype)).astype(jnp.float32)
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+    return logits, kv_cache
 
 
 def top_k_top_p_filtering(logits: jax.Array, top_k: int = 0, top_p: float = 1.0,
@@ -154,6 +159,52 @@ def top_k_top_p_filtering(logits: jax.Array, top_k: int = 0, top_p: float = 1.0,
     return logits
 
 
+def _decode_loop(cfg: ModelConfig, params: dict, out: jax.Array, kv_cache: dict,
+                 next_logits: jax.Array, prompt_len: jax.Array, rng: jax.Array,
+                 seen_mask: jax.Array, *, max_length: int, do_sample: bool,
+                 temperature: float, top_k: int, top_p: float,
+                 repetition_penalty: float, pad_id: int, eos_ids: tuple):
+    """Whole-generation decode as ONE on-device ``lax.while_loop``.
+
+    Carry: (cur, out (B, max_length), kv_cache, last-step logits, rng,
+    seen-token mask, finished).  Exits early once every row has emitted an
+    eos.  Returns (cur, out) — the host slices ``out[:, :cur]``.
+    """
+    B = next_logits.shape[0]
+    eos_arr = jnp.asarray(eos_ids, jnp.int32)
+
+    def cond(c):
+        cur, _out, _kv, _lg, _rng, _seen, finished = c
+        return jnp.logical_and(cur < max_length, jnp.logical_not(jnp.all(finished)))
+
+    def body(c):
+        cur, out, kv, lg, rng, seen, finished = c
+        step_logits = lg / max(temperature, 1e-6)
+        if repetition_penalty != 1.0:
+            step_logits = jnp.where(
+                seen,
+                jnp.where(step_logits > 0, step_logits / repetition_penalty,
+                          step_logits * repetition_penalty),
+                step_logits)
+        if do_sample:
+            step_logits = top_k_top_p_filtering(step_logits, top_k=top_k, top_p=top_p)
+            rng, sub = jax.random.split(rng)
+            tok = jax.random.categorical(sub, step_logits, axis=-1).astype(jnp.int32)
+        else:
+            tok = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
+        tok = jnp.where(finished, pad_id, tok)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, cur))
+        seen = seen.at[jnp.arange(B), tok].set(True)
+        finished = jnp.logical_or(finished, jnp.any(tok[:, None] == eos_arr[None, :], axis=1))
+        lg_new, kv = model_decode_step(cfg, params, tok[:, None], kv, cur)
+        return (cur + 1, out, kv, lg_new[:, -1, :], rng, seen, finished)
+
+    init = (prompt_len, out, kv_cache, next_logits, rng, seen_mask,
+            jnp.zeros((B,), bool))
+    cur, out, _kv, _lg, _rng, _seen, _fin = jax.lax.while_loop(cond, body, init)
+    return cur, out
+
+
 class SequenceGenerator:
     """Greedy / sampling / beam generation (reference ``inference.py:66``)."""
 
@@ -171,6 +222,7 @@ class SequenceGenerator:
         self.eos_token_id = eos_token_id
         self.additional_eos = set(additional_eos_token_list or [])
         self._decode_jit = jax.jit(partial(model_decode_step, self.cfg), donate_argnums=(2,))
+        self._loop_cache = {}  # (B, max_length, sampling knobs) -> jitted fused loop
 
     def generate(self, tokens: Optional[jax.Array] = None, num_return_sequences: int = 1,
                  max_length: int = 64, do_sample: bool = False,
@@ -189,45 +241,28 @@ class SequenceGenerator:
         logits, kv_cache = self._decode_jit(self.params, tokens, kv_cache, jnp.zeros((), jnp.int32))
         next_logits = logits[:, -1, :]
 
-        rng = jax.random.PRNGKey(seed)
-        out = np.full((B, max_length), self.pad_token_id, np.int32)
-        out[:, :prompt_len] = np.asarray(tokens)
-        finished = np.zeros((B,), bool)
-        eos_set = {self.eos_token_id} | self.additional_eos
-
         V = next_logits.shape[-1]
+        out0 = jnp.full((B, max_length), self.pad_token_id, jnp.int32)
+        out0 = jax.lax.dynamic_update_slice(out0, tokens, (0, 0))
         # streaming (B, V) seen-token mask: the repetition penalty runs on
         # device as one gather-free select (reference loops tokens in python,
         # inference.py:925 repetition_penalty region)
-        seen_mask = jnp.zeros((B, V), bool)
-        seen_mask = seen_mask.at[jnp.arange(B)[:, None], tokens].set(True)
+        seen0 = jnp.zeros((B, V), bool).at[jnp.arange(B)[:, None], tokens].set(True)
+        eos_ids = tuple(sorted({self.eos_token_id} | self.additional_eos))
 
-        cur = prompt_len
-        while cur < max_length:
-            step_logits = next_logits / max(temperature, 1e-6)
-            if repetition_penalty != 1.0:
-                step_logits = _apply_penalty(step_logits, seen_mask,
-                                             jnp.float32(repetition_penalty))
-            if do_sample:
-                step_logits = top_k_top_p_filtering(step_logits, top_k=top_k, top_p=top_p)
-                rng, sub = jax.random.split(rng)
-                next_tok = jax.random.categorical(sub, step_logits, axis=-1)
-            else:
-                next_tok = jnp.argmax(step_logits, axis=-1)
-            next_np = np.asarray(next_tok)
-            next_np = np.where(finished, self.pad_token_id, next_np)
-            out[:, cur] = next_np
-            if repetition_penalty != 1.0:
-                seen_mask = seen_mask.at[jnp.arange(B), jnp.asarray(next_np)].set(True)
-            finished |= np.isin(next_np, list(eos_set))
-            if finished.all():
-                cur += 1
-                break
-            logits, kv_cache = self._decode_jit(
-                self.params, jnp.asarray(next_np[:, None]), kv_cache, jnp.asarray(cur, jnp.int32))
-            next_logits = logits[:, -1, :]
-            cur += 1
-        return jnp.asarray(out[:, :cur])
+        key = (B, max_length, bool(do_sample), float(temperature), int(top_k),
+               float(top_p), float(repetition_penalty), eos_ids)
+        loop = self._loop_cache.get(key)
+        if loop is None:
+            loop = jax.jit(partial(
+                _decode_loop, self.cfg, max_length=max_length, do_sample=do_sample,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                repetition_penalty=repetition_penalty, pad_id=self.pad_token_id,
+                eos_ids=eos_ids), donate_argnums=(2, 3))
+            self._loop_cache[key] = loop
+        cur, out = loop(self.params, out0, kv_cache, next_logits,
+                        jnp.asarray(prompt_len, jnp.int32), jax.random.PRNGKey(seed), seen0)
+        return out[:, : int(cur)]
 
     # parity aliases (reference greedy_generate/sample_generate :188,:257)
     def greedy_generate(self, tokens, **kw):
