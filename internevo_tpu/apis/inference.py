@@ -69,13 +69,6 @@ def _cached_attention(cfg: ModelConfig, q, k_cache, v_cache, cache_len):
     return out.astype(q.dtype)
 
 
-@jax.jit
-def _apply_penalty(lg, seen, p):
-    """Repetition penalty on already-emitted tokens (device-side; module-level
-    jit so repeated generate() calls reuse one compilation)."""
-    return jnp.where(seen, jnp.where(lg > 0, lg / p, lg * p), lg)
-
-
 def model_decode_step(cfg: ModelConfig, params: dict, input_ids: jax.Array,
                       kv_cache: dict, cache_index: jax.Array):
     """Forward T tokens appending to the cache at ``cache_index``.

@@ -493,11 +493,10 @@ def model_forward(
     blocks = params["blocks"]
     if drop_active:  # pair each layer with its index for per-layer rng folding
         blocks = (blocks, jnp.arange(cfg.num_layers, dtype=jnp.int32))
-    # unrolling the layer scan amortizes the stacked per-layer grad buffer
-    # updates in the backward pass (the rolled loop's dynamic-update-slice
-    # re-materializes the whole (L, ...) buffer every iteration — measured
-    # ~13% of the 700M step); full unroll costs HBM (live buffers) and compile
-    # time, so it's a tunable knob.  0 = fully unrolled.
+    # scan_unroll is a tunable knob (0 = fully unrolled).  Measured on v5e at
+    # the 700m bench: unroll=1 (rolled) is FASTEST — XLA updates the stacked
+    # per-layer grad buffers in place, and partial unroll (2/3) loses ~5pp MFU
+    # to extra live buffers while full unroll OOMs.  Keep 1 unless re-measured.
     unroll = cfg.scan_unroll if cfg.scan_unroll != 0 else cfg.num_layers
     if n_ckpt >= cfg.num_layers:
         x, _ = jax.lax.scan(full, x, blocks, unroll=unroll)
