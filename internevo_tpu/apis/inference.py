@@ -187,9 +187,19 @@ def _decode_loop(cfg: ModelConfig, params: dict, out: jax.Array, kv_cache: dict,
             tok = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
         tok = jnp.where(finished, pad_id, tok)
         out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, cur))
-        seen = seen.at[jnp.arange(B), tok].set(True)
+        if repetition_penalty != 1.0:  # the (B, V) scatter is dead work otherwise
+            seen = seen.at[jnp.arange(B), tok].set(True)
         finished = jnp.logical_or(finished, jnp.any(tok[:, None] == eos_arr[None, :], axis=1))
-        lg_new, kv = model_decode_step(cfg, params, tok[:, None], kv, cur)
+
+        # skip the model forward when no further token will be sampled (the
+        # last loop iteration would otherwise pay a full decode step for
+        # logits nobody reads)
+        more = jnp.logical_and(cur + 1 < max_length, jnp.logical_not(jnp.all(finished)))
+        lg_new, kv = jax.lax.cond(
+            more,
+            lambda kv_: model_decode_step(cfg, params, tok[:, None], kv_, cur),
+            lambda kv_: (jnp.zeros((B, 1) + lg.shape[1:], lg.dtype), kv_),
+            kv)
         return (cur + 1, out, kv, lg_new[:, -1, :], rng, seen, finished)
 
     init = (prompt_len, out, kv_cache, next_logits, rng, seen_mask,

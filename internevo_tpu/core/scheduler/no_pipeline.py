@@ -32,7 +32,7 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
     moe_loss = jnp.zeros((), jnp.float32)
     if fused_ce and getattr(cfg, "num_experts", 1) <= 1 and cfg.norm_type == "rmsnorm":
         # fused norm+head+CE: never materializes the (tokens, vocab) logits
-        from ...ops.fused_ce import fused_norm_head_ce
+        from ...ops.fused_ce import fused_norm_head_ce, gpc_loss_knobs
 
         hidden = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
                              dropout_rng=dropout_rng, train=is_train, return_hidden=True)
@@ -40,6 +40,7 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
             hidden, params["norm"], params["head"]["kernel"], micro["labels"],
             eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
             norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+            **gpc_loss_knobs(),
         )
         ce_loss = nll_sum / jnp.maximum(n_valid, 1)
         return ce_loss, (ce_loss, n_valid, n_correct, moe_loss)

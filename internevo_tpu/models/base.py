@@ -480,9 +480,11 @@ def model_forward(
     if cfg.activation_offload:
         # keep the attention context, but in HOST memory (the reference's
         # activation-offload mode): backward re-runs everything except the
-        # flash kernel, whose context streams back over DMA
+        # flash kernel, whose context streams back over DMA.  The MLP gates
+        # can stay on-device alongside if remat_save_mlp is also set.
         full_policy = jax.checkpoint_policies.save_and_offload_only_these_names(
-            names_which_can_be_saved=[], names_which_can_be_offloaded=["flash_ctx"],
+            names_which_can_be_saved=["mlp_w1o", "mlp_w3o"] if cfg.remat_save_mlp else [],
+            names_which_can_be_offloaded=["flash_ctx"],
             offload_src="device", offload_dst="pinned_host")
     full = make_scan(lambda l, h, r: block_fn(l, h, r), full_policy)
     light = make_scan(

@@ -21,6 +21,23 @@ import jax.numpy as jnp
 from .norm import rms_norm
 
 
+def gpc_loss_knobs() -> dict:
+    """Resolve ``loss.save_ce_logits`` / ``loss.ce_chunk_size`` from the
+    launched config.  Called by the TRAINER call sites and passed down
+    explicitly — the op itself takes parameters, not global state."""
+    try:
+        from ..core.context import gpc
+
+        lc = dict(gpc.config.get("loss", {})) if getattr(gpc, "config", None) is not None else {}
+    except Exception:
+        lc = {}
+    save = lc.get("save_ce_logits")
+    return {
+        "save_logits": None if save is None else bool(save),
+        "chunk_size": int(lc.get("ce_chunk_size", 0)) or None,
+    }
+
+
 def fused_norm_head_ce(
     hidden: jax.Array,            # (B, S, H) pre-final-norm activations
     norm_weight: jax.Array,       # (H,)
@@ -33,6 +50,7 @@ def fused_norm_head_ce(
     label_smoothing: float = 0.0,
     chunk_size: int = None,
     compute_acc: bool = True,
+    save_logits: bool = None,
 ):
     """Returns (nll_sum fp32, n_valid, n_correct)."""
     B, S, H = hidden.shape
@@ -43,16 +61,7 @@ def fused_norm_head_ce(
 
     import os
 
-    cfg_loss = {}
-    try:
-        from ..core.context import gpc
-
-        if getattr(gpc, "config", None) is not None:
-            cfg_loss = dict(gpc.config.get("loss", {}))
-    except Exception:
-        pass
-    chunk_size = (chunk_size or int(os.environ.get("IEVO_CE_CHUNK", "0"))
-                  or int(cfg_loss.get("ce_chunk_size", 0)) or 512)
+    chunk_size = chunk_size or int(os.environ.get("IEVO_CE_CHUNK", "0")) or 512
     chunk_size = min(chunk_size, tokens)
     # pad to a multiple of chunk_size with ignored labels
     rem = (-tokens) % chunk_size
@@ -73,10 +82,14 @@ def fused_norm_head_ce(
     # save-logits mode: keep each chunk's bf16 logits as a remat residual so
     # the backward skips the logits recompute matmul (one full head matmul,
     # ~18ms/step = +3.6pp MFU at 7B dims).  Costs tokens*V*2 bytes of HBM
-    # (845MB at 7B micro shapes) — opt in (config ``loss.save_ce_logits`` or
-    # env IEVO_CE_SAVE_LOGITS=1) where memory allows; default recomputes.
+    # (845MB at 7B micro shapes) — opt in (config ``loss.save_ce_logits``,
+    # threaded by the trainer call sites, or env IEVO_CE_SAVE_LOGITS=1)
+    # where memory allows; default recomputes.
     env_sl = os.environ.get("IEVO_CE_SAVE_LOGITS")
-    save_logits = (env_sl == "1") if env_sl is not None else bool(cfg_loss.get("save_ce_logits", False))
+    if env_sl is not None:
+        save_logits = env_sl == "1"
+    elif save_logits is None:
+        save_logits = False
 
     def chunk_body(h_c, lab_c, w):
         from jax.ad_checkpoint import checkpoint_name

@@ -237,10 +237,10 @@ def _pick_kv_group(Hkv: int, q_per_kv: int, block_q: int, block_k: int, D: int) 
     set is ~6 (q/do/dq/out double-buffered bf16 + f32 acc) G-head q-sized
     buffers plus 4 kv-sized ones."""
     if os.environ.get("IEVO_FLASH_GK"):
-        want = int(os.environ["IEVO_FLASH_GK"])
+        want = max(int(os.environ["IEVO_FLASH_GK"]), 1)
         while Hkv % want:
             want -= 1
-        return max(want, 1)
+        return want
     budget = int(os.environ.get("IEVO_FLASH_VMEM_MB", "10")) * 2**20
     for gk in (8, 4, 2, 1):
         if Hkv % gk:
@@ -254,20 +254,33 @@ def _pick_kv_group(Hkv: int, q_per_kv: int, block_q: int, block_k: int, D: int) 
     return 1
 
 
-def _pick_kv_group_bwd(Hkv: int, q_per_kv: int, S: int, block_q: int,
-                       block_k: int, D: int) -> int:
-    """Group size for the fused backward.  Unlike the forward (which measures
-    fastest at the smallest group that amortizes the grid-step cost), the
-    backward WANTS large groups: per-(b, group) grid steps halve, the
-    init/finalize of the dk/dv accumulators amortize, and more per-step chains
-    feed the depth-1 MXU/VPU software pipeline (gk=2 measured 22% faster than
-    gk=1 at 7B bench shapes).  Bounded by the VMEM the full-sequence dq stripe
-    + double-buffered q/do blocks consume."""
+def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
+                        block_k: int, D: int) -> tuple:
+    """(kv-group size, q-heads-per-kv chunk) for the fused backward.
+
+    Unlike the forward (which measures fastest at the smallest group that
+    amortizes the grid-step cost), the backward WANTS a 2-wide kv group:
+    per-(b, group) grid steps halve, the dk/dv accumulator init/finalize
+    amortizes, and more per-step chains feed the depth-1 MXU/VPU software
+    pipeline (gk=2 measured 22% faster than gk=1 at 7B bench shapes).
+    Bounded by the VMEM the full-sequence (G, S, D) f32 dq stripe +
+    double-buffered q/do blocks consume — when even the full GQA group at
+    gk=1 does not fit (long sequence, or q_per_kv > 8), the q heads are
+    CHUNKED: dk/dv are additive over q-head subsets, so the caller runs the
+    kernel per chunk and sums (kv refetched per chunk — the price of
+    fitting)."""
+
+    def est(G, gk):
+        return (G * S * D * (4 + 2 * 2)        # dq f32 stripe + dq out buffers
+                + 4 * G * block_q * D * 2      # q/do double-buffered
+                + 4 * gk * block_k * D * 2     # k/v double-buffered
+                + 4 * gk * D * block_k * 4)    # dkT/dvT scratch + out buffers
+
     if os.environ.get("IEVO_FLASH_GK_BWD"):
-        want = int(os.environ["IEVO_FLASH_GK_BWD"])
+        want = max(int(os.environ["IEVO_FLASH_GK_BWD"]), 1)
         while Hkv % want:
             want -= 1
-        return max(want, 1)
+        return want, q_per_kv
     # NB: the estimate undercounts per-chain (bq, bk) f32 intermediates; 56MB
     # keeps the real allocation safely under the 100MB scoped-vmem limit (gk=8
     # at MHA 4096-seq shapes measured 105MB and was rejected by Mosaic).
@@ -278,14 +291,16 @@ def _pick_kv_group_bwd(Hkv: int, q_per_kv: int, S: int, block_q: int,
     for gk in (2, 1):
         if Hkv % gk or gk * q_per_kv > 8:
             continue
-        G = gk * q_per_kv
-        est = (G * S * D * (4 + 2 * 2)        # dq f32 stripe + dq out buffers
-               + 4 * G * block_q * D * 2      # q/do double-buffered
-               + 4 * gk * block_k * D * 2     # k/v double-buffered
-               + 4 * gk * D * block_k * 4)    # dkT/dvT scratch + out buffers
-        if est <= budget:
-            return gk
-    return 1
+        if est(gk * q_per_kv, gk) <= budget:
+            return gk, q_per_kv
+    # chunked fallback: largest q-head chunk (dividing q_per_kv, <= 8) whose
+    # gk=1 working set fits
+    qc = q_per_kv
+    while qc > 1 and (qc > 8 or q_per_kv % qc or est(qc, 1) > budget):
+        qc -= 1
+    while q_per_kv % qc:
+        qc -= 1
+    return 1, qc
 
 
 # ------------------------------------------------------------------ forward
@@ -612,62 +627,87 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
 
     q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
 
-    gk = _pick_kv_group_bwd(Hkv, q_per_kv, S, block_q, block_k, D)
-    G = gk * q_per_kv
-
     ik_of, jk_of, lastk_of = _dkv_layout(S, Sk, block_q, block_k, causal,
                                          max_segment_len, use_segments)
     qblk, runk_f, maskk_f = _dkv_control(q_seg, kv_seg, q_hi, ik_of, jk_of,
                                          block_q, block_k, causal, use_segments, nq, nk)
     Tk = len(ik_of)
 
-    def kv_idx2(b, hg, t, *s):
-        return (b, hg, s[0][t], 0)
+    def run(q_c, do_c, lse_c, delta_c, qpk_c, gk):
+        """One fused-bwd pallas call over a q-head SUBSET (qpk_c heads per kv
+        head).  dk/dv are additive over q-head subsets, so wide GQA groups /
+        long sequences whose f32 dq stripe would not fit VMEM are split into
+        chunked calls by the caller."""
+        G = gk * qpk_c
 
-    def kvT_idx2(b, hg, t, *s):
-        return (b, hg, 0, s[0][t])
+        def kv_idx2(b, hg, t, *s):
+            return (b, hg, s[0][t], 0)
 
-    def q_idx2(b, hg, t, *s):
-        return (b, hg, s[3][b, t], 0)
+        def kvT_idx2(b, hg, t, *s):
+            return (b, hg, 0, s[0][t])
 
-    bwd_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(B, Hkv // gk, Tk),
-        in_specs=[
-            pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
-            pl.BlockSpec((1, SUBLANES, block_k), lambda b, hg, t, *s: (b, 0, s[0][t])),
-            pl.BlockSpec((1, G, block_q, D), q_idx2),
-            pl.BlockSpec((1, gk, block_k, D), kv_idx2),
-            pl.BlockSpec((1, gk, block_k, D), kv_idx2),
-            pl.BlockSpec((1, G, block_q, D), q_idx2),
-            pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
-            pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, G, S, D), lambda b, hg, t, *s: (b, hg, 0, 0)),
-            pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
-            pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((G, S, D), jnp.float32),
-            pltpu.VMEM((gk * D, block_k), jnp.float32),
-            pltpu.VMEM((gk * D, block_k), jnp.float32),
-        ],
-    )
-    dq, dkT, dvT = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=block_q,
-                          block_k=block_k, use_segments=use_segments,
-                          q_per_kv=q_per_kv, gk=gk, n_steps=Tk),
-        grid_spec=bwd_spec,
-        compiler_params=_compiler_params(interpret),
-        out_shape=[
-            jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, D, Sk), k.dtype),
-            jax.ShapeDtypeStruct((B, Hkv, D, Sk), v.dtype),
-        ],
-        interpret=interpret,
-    )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f,
-      q_seg_b, kv_seg_b, q, k, v, do, lse, delta)
+        def q_idx2(b, hg, t, *s):
+            return (b, hg, s[3][b, t], 0)
+
+        bwd_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=6,
+            grid=(B, Hkv // gk, Tk),
+            in_specs=[
+                pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
+                pl.BlockSpec((1, SUBLANES, block_k), lambda b, hg, t, *s: (b, 0, s[0][t])),
+                pl.BlockSpec((1, G, block_q, D), q_idx2),
+                pl.BlockSpec((1, gk, block_k, D), kv_idx2),
+                pl.BlockSpec((1, gk, block_k, D), kv_idx2),
+                pl.BlockSpec((1, G, block_q, D), q_idx2),
+                pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
+                pl.BlockSpec((1, G, block_q, SUBLANES), q_idx2),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, G, S, D), lambda b, hg, t, *s: (b, hg, 0, 0)),
+                pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
+                pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((G, S, D), jnp.float32),
+                pltpu.VMEM((gk * D, block_k), jnp.float32),
+                pltpu.VMEM((gk * D, block_k), jnp.float32),
+            ],
+        )
+        return pl.pallas_call(
+            functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=block_q,
+                              block_k=block_k, use_segments=use_segments,
+                              q_per_kv=qpk_c, gk=gk, n_steps=Tk),
+            grid_spec=bwd_spec,
+            compiler_params=_compiler_params(interpret),
+            out_shape=[
+                jax.ShapeDtypeStruct(q_c.shape, q_c.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, D, Sk), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, D, Sk), v.dtype),
+            ],
+            interpret=interpret,
+        )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f,
+          q_seg_b, kv_seg_b, q_c, k, v, do_c, lse_c, delta_c)
+
+    gk, q_chunk = _pick_bwd_partition(Hkv, q_per_kv, S, block_q, block_k, D)
+    if q_chunk == q_per_kv:
+        dq, dkT, dvT = run(q, do, lse, delta, q_per_kv, gk)
+    else:
+        # chunk the GQA group: heads for kv head k occupy q indices
+        # [k*q_per_kv, (k+1)*q_per_kv); slice per-kv-head sub-ranges
+        def grouped(a):
+            return a.reshape(B, Hkv, q_per_kv, *a.shape[2:])
+
+        qg, dog, lseg, deltag = grouped(q), grouped(do), grouped(lse), grouped(delta)
+        dq_parts, dkT, dvT = [], None, None
+        for c0 in range(0, q_per_kv, q_chunk):
+            c1 = c0 + q_chunk
+            sel = lambda a: a[:, :, c0:c1].reshape(B, Hkv * q_chunk, *a.shape[3:])
+            dq_c, dkT_c, dvT_c = run(sel(qg), sel(dog), sel(lseg), sel(deltag),
+                                     q_chunk, 1)
+            dq_parts.append(dq_c.reshape(B, Hkv, q_chunk, S, D))
+            dkT = dkT_c if dkT is None else dkT + dkT_c
+            dvT = dvT_c if dvT is None else dvT + dvT_c
+        dq = jnp.concatenate(dq_parts, axis=2).reshape(B, Hq, S, D)
     dk = dkT.transpose(0, 1, 3, 2)
     dv = dvT.transpose(0, 1, 3, 2)
     return dq, dk, dv, None, None

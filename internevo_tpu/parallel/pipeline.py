@@ -442,12 +442,13 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 if seq_parallel:
                     y = jax.lax.all_gather(y, TP, axis=1, tiled=True)
                 if tp == 1 and cfg.norm_type == "rmsnorm":
-                    from ..ops.fused_ce import fused_norm_head_ce
+                    from ..ops.fused_ce import fused_norm_head_ce, gpc_loss_knobs
 
                     nll_sum, _n_valid, n_cor = fused_norm_head_ce(
                         y, consts_["norm"], consts_["head"], lab,
                         eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
                         norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+                        **gpc_loss_knobs(),
                     )
                     return nll_sum, n_cor
                 other = {"norm": consts_["norm"], "head": consts_["head"]}

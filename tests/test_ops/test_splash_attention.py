@@ -170,3 +170,64 @@ def test_pathological_length_falls_back():
     out_ref = attention_reference(q, k, v, causal=True)
     out = splash_attention(q, k, v, causal=True, interpret=True)
     np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5)
+
+
+def test_backward_chunked_wide_gqa(monkeypatch):
+    """q_per_kv > 8 (MQA-ish) must route through the chunked-backward path
+    (dk/dv summed over q-head subsets) and still match the reference grads."""
+    from internevo_tpu.ops.pallas import splash_attention as sa
+
+    B, S, D = 1, 256, 32
+    Hq, Hkv = 16, 1  # q_per_kv = 16 > the 8-chain cap -> chunked
+    q = _rand((B, S, Hq, D), 0)
+    k, v = _rand((B, S, Hkv, D), 1), _rand((B, S, Hkv, D), 2)
+    seg = _packed_segments(B, S, 128)
+
+    gk, qc = sa._pick_bwd_partition(Hkv, Hq // Hkv, S, 128, 128, D)
+    assert qc < Hq // Hkv, (gk, qc)  # the partition really chunks
+
+    def loss_splash(q, k, v):
+        out = splash_attention(q, k, v, segment_ids=seg, causal=True,
+                               block_q=128, block_k=128, max_segment_len=128,
+                               interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, segment_ids=seg, causal=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_s = jax.grad(loss_splash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_s, g_r, "qkv"):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=f"d{name}")
+
+
+def test_backward_chunked_by_vmem_budget(monkeypatch):
+    """A tiny VMEM budget must force q-head chunking on an ordinary GQA shape
+    without changing the grads."""
+    monkeypatch.setenv("IEVO_FLASH_VMEM_MB_BWD", "0")
+    from internevo_tpu.ops.pallas import splash_attention as sa
+
+    B, S, D = 1, 256, 32
+    Hq, Hkv = 4, 2
+    gk, qc = sa._pick_bwd_partition(Hkv, Hq // Hkv, S, 128, 128, D)
+    assert (gk, qc) == (1, 1), (gk, qc)
+
+    q = _rand((B, S, Hq, D), 0)
+    k, v = _rand((B, S, Hkv, D), 1), _rand((B, S, Hkv, D), 2)
+    seg = _packed_segments(B, S, 128)
+
+    def loss_splash(q, k, v):
+        out = splash_attention(q, k, v, segment_ids=seg, causal=True,
+                               block_q=128, block_k=128, max_segment_len=128,
+                               interpret=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    def loss_ref(q, k, v):
+        out = attention_reference(q, k, v, segment_ids=seg, causal=True)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_s = jax.grad(loss_splash, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_s, g_r, "qkv"):
+        np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=f"d{name}")

@@ -68,18 +68,7 @@ def main():
 
     bwd = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
 
-    def timeit(f, *a, n=30):
-        o = f(*a)
-        _ = float(jax.tree.leaves(o)[0].ravel()[0])
-        t0 = time.perf_counter()
-        _ = float(jax.tree.leaves(f(*a))[0].ravel()[0])
-        rt = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        for _i in range(n):
-            o = f(*a)
-        _ = float(jax.tree.leaves(o)[0].ravel()[0])
-        tot = time.perf_counter() - t0
-        return (tot - (rt - tot / n)) / n
+    from _timing import timeit
 
     t_fwd = timeit(fwd, q, k, v)
     t_all = timeit(bwd, q, k, v)

@@ -22,7 +22,7 @@ import numpy as np
 
 
 def build_step():
-    from bench import build_bench_config
+    from bench import build_bench_config, build_full_config
     from internevo_tpu.core.context import gpc
     from internevo_tpu.initialize.launch import launch
     from internevo_tpu.train.pipeline import (
@@ -31,21 +31,8 @@ def build_step():
 
     preset = os.environ.get("IEVO_BENCH_PRESET", "7bshape")
     p = build_bench_config(preset)
-    config = dict(
-        model_type="INTERNLM",
-        data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
-                  total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
-        model=dict(checkpoint=p["ckpt"], num_attention_heads=p["heads"], vocab_size=p["vocab"],
-                   embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
-                   num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
-                   norm_type="rmsnorm", layer_norm_epsilon=1e-5),
-        adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
-                  adam_eps=1e-8, weight_decay=0.01),
-        loss=dict(label_smoothing=0, save_ce_logits=True, ce_chunk_size=2048),
-        parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
-                      pipeline=dict(size=1), weight=dict(size=1)),
-    )
-    launch(config, seed=1024)
+    # the bench's own config assembly: the profiled program IS the benched one
+    launch(build_full_config(p), seed=1024)
     model, params = initialize_model()
 
     from internevo_tpu.core.scheduler.no_pipeline import _micro_loss_and_metrics
