@@ -68,6 +68,14 @@ def args_sanity_check() -> None:
     assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp", "rsp"), parallel.tensor.mode
     if parallel.weight.get("size", 1) > 1:
         assert parallel.tensor.mode == "isp", "weight parallel requires isp (ref launch.py:383-384)"
+    if parallel.pipeline.get("size", 1) > 1 and parallel.tensor.mode in ("isp", "rsp"):
+        # the manual-collective pipeline implements mtp/msp/fsp tensor modes;
+        # isp (Ulysses a2a + wp weight sharding) and rsp (ring) would silently
+        # degrade to mtp semantics inside the stages — fail loudly instead
+        raise NotImplementedError(
+            f"tensor mode '{parallel.tensor.mode}' is not supported inside the "
+            "pipeline schedule; use msp/fsp with pipeline.size > 1 (isp/rsp "
+            "run at pipeline.size == 1)")
     # dropout semantics (reference SeedManager tp-offset streams,
     # core/context/random.py:16): residual dropout is supported on every GSPMD
     # topology — jax_threefry_partitionable makes the mask a function of the

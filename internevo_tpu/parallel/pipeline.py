@@ -36,7 +36,7 @@ import numpy as np
 from jax.sharding import PartitionSpec as P
 
 from ..core.context import PP, TP
-from ..models.base import ModelConfig, _norm, split_qkv
+from ..models.base import ModelConfig, _dense, _norm, split_qkv
 from ..ops.attention import flash_attention
 from ..ops.rotary import apply_rotary, rope_frequencies
 
@@ -72,11 +72,6 @@ def _psum_rep_bwd(_, g):
 _psum_replicated_tp.defvjp(_psum_rep_fwd, _psum_rep_bwd)
 
 
-def _local_dense(x, kernel, bias=None):
-    y = jnp.dot(x, kernel.astype(x.dtype))
-    if bias is not None:
-        y = y + bias.astype(x.dtype)
-    return y
 
 
 def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids,
@@ -106,7 +101,7 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
 
     # column-parallel fused wqkv: local kv-groups over the FULL sequence
     if cfg.num_kv_attention_heads % tp == 0:
-        qkv = _local_dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+        qkv = _dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
         local_cfg = _local_head_cfg(cfg, tp)
         q, k, v = split_qkv(local_cfg, qkv)
     else:
@@ -137,8 +132,8 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
     if seq_parallel:
         h = jax.lax.all_gather(h, TP, axis=1, tiled=True)
-    w1o = _local_dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
-    w3o = _local_dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
+    w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
+    w3o = _dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
     mlp_part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
     if seq_parallel:
         mlp_out = jax.lax.psum_scatter(mlp_part, TP, scatter_dimension=1, tiled=True)
@@ -207,19 +202,37 @@ class _LocalCfg:
 
 def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, segment_ids,
                         seq_parallel: bool = False):
-    n_ckpt_total = int(cfg.num_layers * cfg.checkpoint)
-    policy = None if n_ckpt_total > 0 else jax.checkpoint_policies.dots_with_no_batch_dims_saveable
-    body = jax.checkpoint(
-        lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids, seq_parallel),
-        policy=policy, prevent_cse=False,
-    )
+    """Apply this stage's layer group with the `checkpoint` FRACTION honored
+    per group (mirrors model_forward's split): the first round(L_local * f)
+    local layers full-remat (flash residuals saved), the rest use the
+    everything-cheap-saveable policy."""
+    L_local = jax.tree.leaves(blocks_local)[0].shape[0]
+    n_full = int(round(L_local * cfg.checkpoint))
+    save_names = ["flash_out", "flash_lse"]
+    if cfg.remat_save_mlp:
+        save_names += ["mlp_w1o", "mlp_w3o"]
 
-    def scan_body(h, layer):
-        return body(layer, h), None
+    def make_body(policy):
+        body = jax.checkpoint(
+            lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids, seq_parallel),
+            policy=policy, prevent_cse=False,
+        )
+        return lambda h, layer: (body(layer, h), None)
+
+    full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
+    light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
-    out, _ = jax.lax.scan(scan_body, x, blocks_local)
+    if n_full >= L_local:
+        out, _ = jax.lax.scan(full, x, blocks_local)
+    elif n_full == 0:
+        out, _ = jax.lax.scan(light, x, blocks_local)
+    else:
+        head = jax.tree.map(lambda a: a[:n_full], blocks_local)
+        tail = jax.tree.map(lambda a: a[n_full:], blocks_local)
+        x, _ = jax.lax.scan(full, x, head)
+        out, _ = jax.lax.scan(light, x, tail)
     return out.astype(cfg.dtype) if cfg.residual_in_fp32 else out
 
 
@@ -408,8 +421,6 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
 
         if C > 1:
             Lg = blocks["norm1"].shape[0] // C  # local layers per chunk
-            blocks_c = jax.tree.map(
-                lambda a: a.reshape(C, Lg, *a.shape[1:]), blocks)
 
         def micro_fn(blocks_, consts_, x, m, c):
             """One (micro m, chunk c) unit on this stage: embed at the first
@@ -571,19 +582,28 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         return (loss_sum, tok_sum, cor_sum, d_blocks, d_consts["embedding"],
                 d_consts["norm"], d_consts["head"], dnb)
 
+    # natural layer order assigns virtual group v = c*pp + s; shard_map slices
+    # the layer dim contiguously per stage, so permute groups into (stage,
+    # chunk) order: stage s's shard holds its C chunks back-to-back (reference
+    # interleaved chunk mapping :925-944).  The permutation and its inverse
+    # come from the SAME index array (computed once here).
+    # NB: the take/un-take pair runs inside every train step and reshards
+    # (C-1)/C of the block weights across stages; storing the params in
+    # pipeline order at init would save that traffic, at the cost of a
+    # checkpoint-layout canonicalization on save/load — revisit if interleaved
+    # pp becomes the production topology.
+    if C > 1:
+        _Lg_all = cfg.num_layers // (C * pp)
+        _group_order = [c * pp + s for s in range(pp) for c in range(C)]
+        _layer_perm = np.asarray(
+            [v * _Lg_all + i for v in _group_order for i in range(_Lg_all)])
+        _layer_perm_inv = np.argsort(_layer_perm)
+
     def run(params, batch):
         blocks = params["blocks"]
         if C > 1:
-            # natural layer order assigns virtual group v = c*pp + s; shard_map
-            # slices the layer dim contiguously per stage, so permute groups
-            # into (stage, chunk) order: stage s's shard holds its C chunks
-            # back-to-back (reference interleaved chunk mapping :925-944)
-            L = cfg.num_layers
-            Lg_all = L // (C * pp)
-            group_order = [c * pp + s for s in range(pp) for c in range(C)]
-            layer_idx = jnp.asarray(
-                [v * Lg_all + i for v in group_order for i in range(Lg_all)], jnp.int32)
-            blocks = jax.tree.map(lambda a: jnp.take(a, layer_idx, axis=0), blocks)
+            blocks = jax.tree.map(
+                lambda a: jnp.take(a, jnp.asarray(_layer_perm), axis=0), blocks)
         bs = _block_pspecs(blocks, gqa_rep)
         norm_bias = params.get("norm_bias")
         nb_spec = P()
@@ -610,13 +630,8 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             )
         if C > 1:
             # un-permute block grads back to the natural layer order
-            L = cfg.num_layers
-            Lg_all = L // (C * pp)
-            group_order = [c * pp + s for s in range(pp) for c in range(C)]
-            layer_idx = np.asarray(
-                [v * Lg_all + i for v in group_order for i in range(Lg_all)])
-            inv = np.argsort(layer_idx)
-            d_blocks = jax.tree.map(lambda g: jnp.take(g, jnp.asarray(inv), axis=0), d_blocks)
+            d_blocks = jax.tree.map(
+                lambda g: jnp.take(g, jnp.asarray(_layer_perm_inv), axis=0), d_blocks)
         loss = loss_sum / M
         grads = {
             "blocks": jax.tree.map(lambda g: g / M, d_blocks),
