@@ -208,6 +208,51 @@ def _decode_loop(cfg: ModelConfig, params: dict, out: jax.Array, kv_cache: dict,
     return cur, out
 
 
+def _beam_loop(cfg: ModelConfig, params: dict, out: jax.Array, kv: dict,
+               last_tok: jax.Array, scores: jax.Array, finished: jax.Array,
+               cur0: jax.Array, *, B: int, nb: int, max_length: int,
+               temperature: float, pad_id: int, eos_ids: tuple):
+    """Whole beam search as ONE on-device ``lax.while_loop``: decode the last
+    beam tokens, expand to (nb * V) candidates per group, keep the per-group
+    top nb (frozen beams persist via a single pad candidate carrying their
+    score), reorder the rows of ``out`` and the kv caches with the beam
+    backpointers.  Mirrors the reference's batched beam
+    (``inference.py:560+``) with the host loop collapsed to one dispatch."""
+    eos_arr = jnp.asarray(eos_ids, jnp.int32)
+
+    def cond(c):
+        cur, _out, _kv, _last, _scores, finished = c
+        return jnp.logical_and(cur < max_length, jnp.logical_not(jnp.all(finished)))
+
+    def body(c):
+        cur, out, kv, last, scores, finished = c
+        lg, kv = model_decode_step(cfg, params, last[:, None], kv, cur - 1)
+        logp = jax.nn.log_softmax(
+            lg[:, -1, :] / max(temperature, 1e-6), axis=-1).reshape(B, nb, -1)
+        V = logp.shape[-1]
+        pad_onehot = jnp.arange(V)[None, None, :] == pad_id
+        cand = jnp.where(
+            finished[:, :, None],
+            jnp.where(pad_onehot, scores[:, :, None], -1e9),
+            scores[:, :, None] + logp)
+        top_s, best = jax.lax.top_k(cand.reshape(B, nb * V), nb)  # (B, nb)
+        beam_loc, tok = best // V, best % V
+        beam_idx = (jnp.arange(B)[:, None] * nb + beam_loc).reshape(-1)
+        out = jnp.take(out, beam_idx, axis=0)
+        fin_flat = jnp.take(finished.reshape(-1), beam_idx)
+        tok_flat = tok.reshape(-1).astype(jnp.int32)
+        new_tok = jnp.where(fin_flat, pad_id, tok_flat)
+        out = jax.lax.dynamic_update_slice(out, new_tok[:, None], (0, cur))
+        is_eos = jnp.any(tok_flat[:, None] == eos_arr[None, :], axis=1)
+        finished = jnp.logical_or(fin_flat, is_eos).reshape(B, nb)
+        kv = jax.tree.map(lambda a: jnp.take(a, beam_idx, axis=1), kv)
+        return (cur + 1, out, kv, new_tok, top_s, finished)
+
+    init = (cur0, out, kv, last_tok, scores, finished)
+    cur, out, _kv, _last, scores, finished = jax.lax.while_loop(cond, body, init)
+    return cur, out, scores, finished
+
+
 class SequenceGenerator:
     """Greedy / sampling / beam generation (reference ``inference.py:66``)."""
 
@@ -304,30 +349,25 @@ class SequenceGenerator:
         finished = np.zeros((B, nb), bool)
         eos_set = {self.eos_token_id} | self.additional_eos
 
-        cur = prompt_len + 1
-        while cur < max_length and not finished.all():
-            logits, kv_cache = self._decode_jit(
-                self.params, jnp.asarray(out[:, cur - 1 : cur]), kv_cache,
-                jnp.asarray(cur - 1, jnp.int32))
-            logp = np.asarray(jax.nn.log_softmax(
-                logits[:, -1, :] / max(temperature, 1e-6), axis=-1)).reshape(B, nb, V)
-            total = scores[:, :, None] + np.where(finished[:, :, None], -1e9, logp)
-            # frozen beams persist with their score via a single pad candidate
-            b_i, k_i = np.nonzero(finished)
-            total[b_i, k_i, self.pad_token_id] = scores[b_i, k_i]
-            flat = total.reshape(B, nb * V)
-            best = np.argsort(flat, axis=1)[:, ::-1][:, :nb]          # (B, nb)
-            beam_loc, tok_idx = best // V, best % V
-            beam_idx = (np.arange(B)[:, None] * nb + beam_loc).reshape(-1)
-            out = out[beam_idx]
-            tok_flat = tok_idx.reshape(-1)
-            fin_flat = finished.reshape(-1)[beam_idx]
-            out[:, cur] = np.where(fin_flat, self.pad_token_id, tok_flat)
-            scores = np.take_along_axis(flat, best, axis=1)
-            finished = (fin_flat | np.isin(tok_flat, list(eos_set))).reshape(B, nb)
-            # caches are (L, B*nb, S, H, D): beams live on axis 1
-            kv_cache = jax.tree.map(lambda c: jnp.take(c, jnp.asarray(beam_idx), axis=1), kv_cache)
-            cur += 1
+        eos_ids = tuple(sorted(eos_set))
+        key = ("beam", B, nb, max_length, float(temperature), eos_ids)
+        loop = self._loop_cache.get(key)
+        if loop is None:
+            loop = jax.jit(partial(
+                _beam_loop, self.cfg, B=B, nb=nb, max_length=max_length,
+                temperature=temperature, pad_id=self.pad_token_id,
+                eos_ids=eos_ids), donate_argnums=(1, 2))
+            self._loop_cache[key] = loop
+        out0 = jnp.asarray(out)
+        last0 = out0[:, prompt_len]
+        cur, out_d, scores_d, fin_d = loop(
+            self.params, out0, kv_cache, last0,
+            jnp.asarray(scores, jnp.float32),
+            jnp.asarray(finished),
+            jnp.asarray(prompt_len + 1, jnp.int32))
+        cur = int(cur)
+        out = np.asarray(out_d)
+        scores = np.asarray(scores_d, np.float64)
 
         lengths = (out != self.pad_token_id).sum(axis=1).reshape(B, nb)
         final = scores / (lengths.astype(np.float64) ** length_penalty)
