@@ -84,8 +84,14 @@ def make_train_step(
     # streams.  jax_threefry_partitionable makes every draw a function of the
     # LOGICAL element index, so masks are identical across tp/sp topologies.
     cfg = model.config
-    stochastic = (getattr(cfg, "drop_rate", 0.0) > 0.0
-                  or (getattr(cfg, "num_experts", 1) > 1 and getattr(cfg, "moe_use_rts", True)))
+    # MoE training is stochastic whenever the gate needs noise: RTS (top-1),
+    # the always-on gumbel for the 2nd expert (top-2, ref gshard_layer.py:278),
+    # or an explicit noisy_gate_policy
+    moe_stochastic = getattr(cfg, "num_experts", 1) > 1 and (
+        getattr(cfg, "moe_use_rts", True)
+        or getattr(cfg, "top_k", 1) >= 2
+        or getattr(cfg, "moe_noisy_gate_policy", None) is not None)
+    stochastic = getattr(cfg, "drop_rate", 0.0) > 0.0 or moe_stochastic
     if stochastic:
         from ..context import gpc
 

@@ -106,6 +106,7 @@ class ModelConfig:
     moe_use_rts: bool = True
     moe_layer_freq: int = 1
     moe_type: str = "GShard"  # GShard (capacity) | Dropless (ragged grouped matmul)
+    moe_noisy_gate_policy: Optional[str] = None  # None | "RSample" | "Jitter" (ref gshard top1)
 
     def __post_init__(self):
         # config files may say checkpoint=True/False (ref 7B_sft.py comment)

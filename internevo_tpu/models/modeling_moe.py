@@ -104,7 +104,14 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
         x = x.astype(jnp.float32)
 
     def moe_ffn(layer, h, rng):
-        if cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock"):
+        # drop_tokens=False means NO token may be dropped; the dense-dispatch
+        # gshard formulation would need capacity = S (an (S, E, S) combine
+        # tensor, quadratic memory where the reference uses a dynamic
+        # max-count capacity) — the ragged dropless path IS the no-drop
+        # semantics at linear memory, so route there
+        dropless = (cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock")
+                    or not cfg.moe_drop_tokens)
+        if dropless:
             from .moe.dropless import dropless_moe_apply
 
             out, l_aux, _counts = dropless_moe_apply(
@@ -115,9 +122,9 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
             top_k=cfg.top_k,
             capacity_factor=cfg.moe_capacity_factor if train else cfg.moe_eval_capacity_factor,
             min_capacity=cfg.moe_min_capacity,
-            drop_tokens=cfg.moe_drop_tokens,
+            drop_tokens=True,
             use_rts=cfg.moe_use_rts,
-            noisy_gate_policy=None,
+            noisy_gate_policy=cfg.moe_noisy_gate_policy if train else None,
             rng=rng,
             train=train,
         )
@@ -143,24 +150,48 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
         )
         return (h_new, moe_loss + l_aux), None
 
-    ckpt_body = jax.checkpoint(
-        lambda carry, xs: scan_body(carry, xs),
-        policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-        prevent_cse=False,
-    )
-    (x, moe_loss), _ = jax.lax.scan(
-        ckpt_body, (x, jnp.zeros((), jnp.float32)),
-        (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32)))
+    # honor model.checkpoint like model_forward: the first round(L * f) layers
+    # full-remat (flash residuals kept), the rest everything-cheap-saveable
+    n_ckpt = int(round(cfg.num_layers * cfg.checkpoint))
+    save_names = ["flash_out", "flash_lse"]
+    if cfg.remat_save_mlp:
+        save_names += ["mlp_w1o", "mlp_w3o"]
+
+    def make_body(policy):
+        return jax.checkpoint(lambda carry, xs: scan_body(carry, xs),
+                              policy=policy, prevent_cse=False)
+
+    full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
+    light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    xs_all = (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
+    carry = (x, jnp.zeros((), jnp.float32))
+    if n_ckpt >= cfg.num_layers:
+        (x, moe_loss), _ = jax.lax.scan(full, carry, xs_all)
+    elif n_ckpt == 0:
+        (x, moe_loss), _ = jax.lax.scan(light, carry, xs_all)
+    else:
+        head_xs = jax.tree.map(lambda a: a[:n_ckpt], xs_all)
+        tail_xs = jax.tree.map(lambda a: a[n_ckpt:], xs_all)
+        carry, _ = jax.lax.scan(full, carry, head_xs)
+        (x, moe_loss), _ = jax.lax.scan(light, carry, tail_xs)
     logits = head_logits(cfg, params, x)
-    return logits, {"moe": moe_loss / cfg.num_layers}
+    # SUM of per-layer aux losses (reference no_pipeline_scheduler.py:134:
+    # sum(moe_losses) * coeff — NOT the mean)
+    return logits, {"moe": moe_loss}
 
 
 @MODEL_INITIALIZER.register_module(MODEL_TYPE)
 def build_model_with_cfg(**kwargs) -> ModelDef:
     for k in ("num_chunks", "embed_split_hidden", "apply_post_layer_norm",
-              "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm",
-              "moe_use_residual", "moe_gate_k"):
+              "dropout_selective_checkpoint", "use_flash_attn", "adapt_hf", "use_fp32_norm"):
         kwargs.pop(k, None)
+    # reference model-dict knobs: moe_gate_k = routing top-k,
+    # moe_use_residual = residual-MoE (dense branch + learned coefficient)
+    gate_k = kwargs.pop("moe_gate_k", None)
+    if gate_k is not None:
+        kwargs.setdefault("top_k", gate_k)
+    if kwargs.pop("moe_use_residual", False):
+        kwargs.setdefault("num_shared_experts", 1)
     fields = {k: v for k, v in kwargs.items() if k in ModelConfig.__dataclass_fields__}
     cfg = ModelConfig(qkv_bias=True, o_bias=True, mlp_bias=False, **fields)
     assert cfg.num_experts > 1, "INTERNLM_MoE requires model.num_experts > 1"

@@ -26,8 +26,10 @@ from jax.sharding import PartitionSpec as P
 
 
 def _capacity(num_tokens: int, num_experts: int, capacity_factor: float, min_capacity: int) -> int:
-    cap = math.ceil(num_tokens / num_experts) * capacity_factor
-    return int(max(int(cap), min_capacity))
+    # reference gshard_layer.py:121-130: ceil((tokens/experts) * factor),
+    # floored at min_capacity (ceil AFTER the multiply — order matters)
+    cap = math.ceil((num_tokens / num_experts) * capacity_factor)
+    return int(max(cap, min_capacity))
 
 
 def _gumbel(rng, shape):

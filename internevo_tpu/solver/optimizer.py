@@ -66,7 +66,7 @@ def init_optimizer_state(params, scaler_cfg: GradScalerConfig | None = None) -> 
         "v": jax.tree.map(jnp.zeros_like, master),
         "grad_scale": jnp.asarray(scaler_cfg.initial_scale, jnp.float32),
         "growth_tracker": jnp.zeros((), jnp.int32),
-        "hysteresis_tracker": jnp.asarray(scaler_cfg.hysteresis, jnp.int32),
+        "hysteresis_tracker": jnp.asarray(0, jnp.int32),  # overflow steps so far (ref _hysteresis_step)
         "num_skipped": jnp.zeros((), jnp.int32),
     }
 
@@ -134,7 +134,10 @@ def optimizer_step(
     group_norms = param_group_norms(grads_f32)  # pre-clip, like the reference
     found_inf = ~jnp.isfinite(norm)
 
-    clip_coef = jnp.minimum(1.0, adam_cfg.clip_grad_norm / (norm + 1e-6))
+    if adam_cfg.clip_grad_norm > 0:
+        clip_coef = jnp.minimum(1.0, adam_cfg.clip_grad_norm / (norm + 1e-6))
+    else:  # reference convention: clip_grad_norm == 0 disables clipping
+        clip_coef = jnp.asarray(1.0, jnp.float32)
     clip_coef = jnp.where(found_inf, 0.0, clip_coef)
     grads_f32 = jax.tree.map(lambda g: g * clip_coef, grads_f32)
 
@@ -175,10 +178,13 @@ def optimizer_step(
         lambda master, p: master.astype(p.dtype), new_master, params
     )
 
-    # ---- dynamic grad scaler update (ref utils.py:481-543)
+    # ---- dynamic grad scaler update (ref utils.py:484-522, exact semantics:
+    # hysteresis_step counts UP on overflow; once it reaches hysteresis every
+    # further overflow backs off (NO reset after backoff); a growth event
+    # resets it to 0)
     growth = state["growth_tracker"] + 1
-    hyst = jnp.where(found_inf, state["hysteresis_tracker"] - 1, state["hysteresis_tracker"])
-    do_backoff = found_inf & (hyst <= 0)
+    hyst = jnp.where(found_inf, state["hysteresis_tracker"] + 1, state["hysteresis_tracker"])
+    do_backoff = found_inf & (hyst >= scaler_cfg.hysteresis)
     do_growth = (~found_inf) & (growth >= scaler_cfg.growth_interval)
     new_scale = jnp.where(do_backoff, jnp.maximum(scale * scaler_cfg.backoff_factor, scaler_cfg.min_scale or 1.0), scale)
     new_scale = jnp.where(do_growth, jnp.minimum(new_scale * scaler_cfg.growth_factor, scaler_cfg.max_scale or new_scale * scaler_cfg.growth_factor), new_scale)
@@ -189,11 +195,13 @@ def optimizer_step(
         "v": new_v,
         "grad_scale": new_scale,
         "growth_tracker": jnp.where(found_inf | do_growth, 0, growth),
-        "hysteresis_tracker": jnp.where(do_backoff, scaler_cfg.hysteresis, hyst),
+        "hysteresis_tracker": jnp.where(do_growth, 0, hyst),
         "num_skipped": state["num_skipped"] + found_inf.astype(jnp.int32),
     }
+    # reference sentinel contract (utils.py:372-376): -1 = inf, -2 = nan
+    norm_rep = jnp.where(jnp.isnan(norm), -2.0, jnp.where(jnp.isinf(norm), -1.0, norm))
     stats = {
-        "grad_norm": norm,
+        "grad_norm": norm_rep,
         "grad_norm_groups": group_norms,
         "found_inf": found_inf,
         "loss_scale": scale,

@@ -52,7 +52,7 @@ def initialize_model() -> tuple[ModelDef, Any]:
         mapping = {"top_k": "top_k", "capacity_factor": "moe_capacity_factor",
                    "eval_capacity_factor": "moe_eval_capacity_factor",
                    "min_capacity": "moe_min_capacity", "drop_tokens": "moe_drop_tokens",
-                   "use_rts": "moe_use_rts"}
+                   "use_rts": "moe_use_rts", "noisy_gate_policy": "moe_noisy_gate_policy"}
         for src, dst in mapping.items():
             if src in moe_cfg:
                 model_cfg[dst] = moe_cfg[src]

@@ -129,3 +129,67 @@ def test_param_group_norms_match_reference_grouping():
     np.testing.assert_allclose(total, global_norm(tree), rtol=1e-6)
     np.testing.assert_allclose(groups["moe"], jnp.sqrt(64 * 0.25**2), rtol=1e-6)
     np.testing.assert_allclose(groups["embed_head"], jnp.sqrt(16 * 4.0 + 8 * 1.0), rtol=1e-6)
+
+
+def test_scaler_hysteresis_reference_semantics():
+    """Ref utils.py:484-522: hysteresis_step counts UP per overflow; once it
+    reaches hysteresis, EVERY further overflow backs off (no reset after a
+    backoff); a growth event resets the counter."""
+    params = {"w": jnp.ones((2, 2))}
+    scaler = GradScalerConfig(initial_scale=2.0**8, hysteresis=2,
+                              growth_interval=1, growth_factor=2.0, max_scale=2.0**20)
+    state = init_optimizer_state(params, scaler)
+    cfg = AdamWConfig(lr=0.0)
+    inf_g = {"w": jnp.full((2, 2), jnp.inf)}
+    ok_g = {"w": jnp.ones((2, 2))}
+
+    # 1st overflow: hysteresis not yet exhausted -> no backoff
+    _, state, _ = optimizer_step(params, inf_g, state, lr=0.0, adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 2.0**8
+    # 2nd overflow: counter hits hysteresis -> backoff
+    _, state, _ = optimizer_step(params, inf_g, state, lr=0.0, adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 2.0**7
+    # 3rd overflow: counter stays exhausted -> backoff again immediately
+    _, state, _ = optimizer_step(params, inf_g, state, lr=0.0, adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 2.0**6
+    # growth event resets the hysteresis counter
+    _, state, _ = optimizer_step(params, ok_g, state, lr=0.0, adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 2.0**7  # grew (interval 1)
+    assert int(state["hysteresis_tracker"]) == 0
+    # next single overflow: no backoff again (counter restarted)
+    _, state, _ = optimizer_step(params, inf_g, state, lr=0.0, adam_cfg=cfg, scaler_cfg=scaler)
+    assert float(state["grad_scale"]) == 2.0**7
+
+
+def test_clip_zero_disables_clipping():
+    """clip_grad_norm == 0 is the reference's clipping-off convention — grads
+    must pass through unscaled, not be zeroed."""
+    params = {"w": jnp.ones((4, 4), jnp.float32)}
+    state = init_optimizer_state(params)
+    big = {"w": jnp.full((4, 4), 100.0)}
+    cfg = AdamWConfig(lr=1e-2, clip_grad_norm=0.0, weight_decay=0.0)
+    new_params, new_state, stats = optimizer_step(params, big, state, lr=1e-2, adam_cfg=cfg)
+    assert int(new_state["step"]) == 1
+    # params moved (adam update of a huge grad at lr 1e-2 is ~lr in magnitude)
+    assert float(jnp.max(jnp.abs(new_params["w"] - params["w"]))) > 1e-3
+
+
+def test_grad_norm_inf_nan_sentinels():
+    """Reported grad_norm uses the reference sentinels: -1 = inf, -2 = nan."""
+    params = {"w": jnp.ones((2, 2))}
+    cfg = AdamWConfig(lr=0.0)
+    _, _, st_inf = optimizer_step(params, {"w": jnp.full((2, 2), jnp.inf)},
+                                  init_optimizer_state(params), lr=0.0, adam_cfg=cfg)
+    assert float(st_inf["grad_norm"]) == -1.0
+    _, _, st_nan = optimizer_step(params, {"w": jnp.full((2, 2), jnp.nan)},
+                                  init_optimizer_state(params), lr=0.0, adam_cfg=cfg)
+    assert float(st_nan["grad_norm"]) == -2.0
+
+
+def test_gshard_capacity_formula():
+    """Reference gshard_layer.py:121-130: ceil((tokens/experts)*factor)."""
+    from internevo_tpu.models.moe.gshard import _capacity
+
+    assert _capacity(9, 3, 1.2, 1) == 4    # ceil(3*1.2)=4 (not int(ceil(3)*1.2)=3)
+    assert _capacity(10, 4, 2.0, 1) == 5   # ceil(2.5*2)=5 (not ceil(2.5)*2=6)
+    assert _capacity(8, 4, 1.0, 4) == 4    # min_capacity floor
