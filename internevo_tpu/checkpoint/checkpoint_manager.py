@@ -2,8 +2,8 @@
 
 Parity: reference ``internlm/checkpoint/checkpoint_manager.py`` —
 ``CheckpointManager`` (:217) with: save every N steps, alternating 2-slot
-snapshots at ``oss_snapshot_freq`` (:414-417), stop-file signal protocol where
-+/-step in a file triggers save / save+quit (:331-403), auto-resume scanning
+snapshots at ``oss_snapshot_freq`` (:414-417), stop-file signal protocol
+(positive step in the file = save AND quit, negative = save only, :331-403), auto-resume scanning
 storage for the latest ``.step``-stamped folder (:438-535), selective load via
 ``CheckpointLoadMask`` over {model, sampler, optimizer, scheduler} (:166-198),
 and pluggable external-format loaders {internevo, llama, hf_llama}.
@@ -160,13 +160,33 @@ class CheckpointManager:
         import orbax.checkpoint as ocp
 
         t0 = time.time()
+        # orbax writes a posix directory tree; URI-prefixed folders route like
+        # StorageManager paths — "local:" strips, object-store prefixes are
+        # rejected loudly (blob-style llm_save/llm_load supports them; a whole
+        # orbax checkpoint does not)
+        if ":" in path.split("/", 1)[0]:
+            backend, rest = path.split(":", 1)
+            if backend != "local":
+                raise NotImplementedError(
+                    f"save_ckpt_folder backend '{backend}:' is not supported for "
+                    "orbax checkpoint trees; use a local/shared-fs path "
+                    "(object-store backends serve the blob llm_save/llm_load API)")
+            path = rest
         path_p = Path(path)
-        storage = get_storage_manager()
-        if path_p.exists():
-            shutil.rmtree(path)
-        path_p.mkdir(parents=True, exist_ok=True)
+        self._finalize_pending_save()  # barrier on any previous async save BEFORE deleting
+        # single-writer guard: with multiple controller processes over a shared
+        # filesystem, only process 0 prepares/deletes the directory
+        import jax as _jax
+
+        if _jax.process_index() == 0:
+            if path_p.exists():
+                shutil.rmtree(path)
+            path_p.mkdir(parents=True, exist_ok=True)
+        if _jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_dir_ready")
         ck_model, ck_opt = self._checkpointers()
-        self._finalize_pending_save()  # barrier on any previous async save
         ck_model.save(path_p.resolve() / "arrays_model",
                       args=ocp.args.StandardSave({"params": self.engine.params}))
         ck_opt.save(path_p.resolve() / "arrays_opt",
@@ -176,8 +196,9 @@ class CheckpointManager:
             "lr_scheduler": self.engine.lr_scheduler.state_dict(),
             "model_config": dict(self.model_config) if self.model_config else None,
         }
-        with open(path_p / "context.pkl", "wb") as f:
-            pickle.dump(meta, f)
+        if _jax.process_index() == 0:
+            with open(path_p / "context.pkl", "wb") as f:
+                pickle.dump(meta, f)
         step = (train_state or self.train_state).step_count
         # the ".step" stamp (completeness marker, ref :568-637) is written by
         # _finalize_pending_save once the async array writes land
@@ -269,6 +290,10 @@ class CheckpointManager:
             return
         content = CheckpointLoadMask(tuple(load_info.get("content", ("all",))))
         ckpt_type = load_info.get("ckpt_type", "internevo")
+        if ckpt_type not in LOAD_FUNC_DICT:
+            # external loaders ('hf_llama', 'llama') register on import of the
+            # converter module (lazy here to avoid a circular import)
+            from . import convert  # noqa: F401
         load_fn = LOAD_FUNC_DICT[ckpt_type]
         load_fn(self.engine, train_state, load_info["path"], content)
         if hasattr(self.engine, "reset_step_count"):

@@ -39,6 +39,11 @@ class PackedDataset:
             return self.build_pack(item)
         return self.build_unpack(item)
 
+    def _unpacked_len(self) -> int:
+        # unpacked mode serves micro_bsz WHOLE samples per item (truncated to
+        # max_length_per_sample) — NOT token windows
+        return -(-len(self.dataset) // self.micro_bsz)
+
     def get_dataset_name(self):
         return self.dataset.get_dataset_name()
 
@@ -70,6 +75,8 @@ class PackedDatasetWithCut(PackedDataset):
         self.num_tokens = int(self._cum_tokens[-1]) if len(order) else 0
 
     def __len__(self):
+        if not self.use_packed:
+            return self._unpacked_len()
         return self.num_tokens // self.packed_length
 
     def _locate(self, token_pos: int):
@@ -97,6 +104,14 @@ class PackedDatasetWithCut(PackedDataset):
             sample = self.dataset[int(self.shuffled_order[j])]
             toks = sample["tokens"]
             frag = list(toks[offset : offset + remaining])
+            if not frag:
+                # zero-length sample (min_length=0 lets them through): nothing
+                # to pack — appending the -100 carry with no token would
+                # desync labels from tokens (the reference asserts on these,
+                # packed_dataset.py:295; skipping is the lenient superset)
+                j += 1
+                offset = 0
+                continue
             cut_at = offset + len(frag)
             # next-token labels; at a cut the label is the continuation's first
             # token, at a true sample end it is -100 (ref :312-318)
@@ -159,6 +174,8 @@ class PackedDatasetWithoutCuSeqlen(PackedDataset):
         self.num_tokens = int(sum(self.lengths))
 
     def __len__(self):
+        if not self.use_packed:
+            return self._unpacked_len()
         return self.num_tokens // self.packed_length
 
     def find_offset(self, offset: int):
@@ -191,11 +208,10 @@ class PackedDatasetWithoutCuSeqlen(PackedDataset):
 
 
 class ConcatDataset:
-    """Minimal torch-free ConcatDataset with a merged ``lengths`` attribute."""
+    """Minimal torch-free ConcatDataset over packed datasets."""
 
     def __init__(self, datasets):
         self.datasets = list(datasets)
-        self.lengths = np.concatenate([np.asarray(d.lengths) for d in self.datasets])
         self._cum = np.cumsum([len(d) for d in self.datasets])
 
     def __len__(self):

@@ -200,8 +200,14 @@ def load_new_batch(train_dl, train_iter, train_state: TrainState):
         batch = next(train_iter)
         train_state.num_consumed_samples_in_epoch = 0
         # epoch rollover: per-epoch consumption resets; batch_count stays
-        # cumulative (rampup position carries across epochs, ref sampler :240)
+        # cumulative (rampup position carries across epochs, ref sampler :240).
+        # CONSUMPTION has now entered the new pool, so refresh the resume
+        # snapshot from the live sampler (which reshuffled at generator exit)
+        # — otherwise a checkpoint taken mid-epoch-2 would store epoch-1's
+        # rng_state/indices and replay trained data on resume
         train_state.sampler_consumed_samples = 0
+        if train_state.batch_sampler is not None:
+            train_state.batch_sampler_state = train_state.batch_sampler.copy()
     train_state.note_batch_consumed(len(batch[1]))
     timer("batch-gen").stop()
     return batch, train_iter

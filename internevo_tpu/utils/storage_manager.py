@@ -99,12 +99,16 @@ class ObjectStoreClient:
         return h.hexdigest()
 
     def upload(self, staged_file: str, rest: str):
-        dst = self._object_path(rest)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(staged_file, dst)
-        with open(dst + ".md5", "w") as f:
-            f.write(self._md5(dst))
-        os.remove(staged_file)
+        try:
+            dst = self._object_path(rest)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(staged_file, dst)
+            with open(dst + ".md5", "w") as f:
+                f.write(self._md5(dst))
+        finally:
+            # staged files must not accumulate in /dev/shm on failed uploads
+            if os.path.exists(staged_file):
+                os.remove(staged_file)
 
     def load(self, rest: str):
         import pickle
@@ -126,6 +130,16 @@ class ObjectStoreClient:
     def delete_obj(self, rest: str):
         LocalClient.delete_obj(self._object_path(rest))
         LocalClient.delete_obj(self._object_path(rest) + ".md5")
+
+
+def _move_staged(staged: str, dst: str):
+    """Publish a staged pickle to its local destination; staged file removed."""
+    os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+    try:
+        shutil.move(staged, dst)
+    finally:
+        if os.path.exists(staged):
+            os.unlink(staged)
 
 
 class StorageManager:
@@ -177,7 +191,10 @@ class StorageManager:
         use_async = self.async_upload if async_upload is None else async_upload
         if backend == "local":
             if use_async and self._pool is not None:
-                self._futures.append(self._pool.submit(LocalClient.save, fp, obj))
+                # serialize NOW (two-phase protocol): pickling on the worker
+                # thread would capture post-save mutations of the live object
+                staged = self._stage(obj)
+                self._futures.append(self._pool.submit(_move_staged, staged, fp))
             else:
                 LocalClient.save(fp, obj)
             return
@@ -208,10 +225,18 @@ class StorageManager:
             self._client(backend).delete_obj(fp)
 
     def wait(self):
-        """Barrier: block until all queued async uploads finish (ref :1136+)."""
-        for fut in self._futures:
-            fut.result()
-        self._futures.clear()
+        """Barrier: block until all queued async uploads finish (ref :1136+).
+        Drains the queue even when an upload failed (a stale future must not
+        re-raise on every later barrier); the first error propagates."""
+        futs, self._futures = self._futures, []
+        first_err = None
+        for fut in futs:
+            try:
+                fut.result()
+            except Exception as e:  # noqa: BLE001 - collect, re-raise first
+                first_err = first_err or e
+        if first_err is not None:
+            raise first_err
 
 
 _storage_manager: Optional[StorageManager] = None

@@ -100,3 +100,51 @@ def iter_once(sampler):
     if not hasattr(sampler, "_it") or sampler._it is None:
         sampler._it = iter(sampler)
     return sampler._it
+
+
+def test_trainstate_snapshot_refreshes_on_epoch_rollover():
+    """A checkpoint taken mid-epoch-2 must restore epoch-2's pool, not replay
+    epoch-1 data: load_new_batch refreshes the TrainState sampler snapshot at
+    the rollover (review finding r2)."""
+    from types import SimpleNamespace
+
+    from internevo_tpu.core.trainer import TrainState
+    from internevo_tpu.train.pipeline import load_new_batch
+
+    class _DL:
+        def __init__(self, sampler):
+            self.batch_sampler = sampler
+
+        def __iter__(self):
+            return (({"ids": list(b)}, list(b)) for b in iter(self.batch_sampler))
+
+    cfg = SimpleNamespace(data=SimpleNamespace(total_steps=1000))
+
+    def fresh():
+        s = StaticBatchSampler([_FakeDs(40)], batch_size=8, rampup_batch_size=None,
+                               micro_bsz=1, seed=7)
+        return s, _DL(s), TrainState(cfg, batch_sampler=s)
+
+    s1, dl1, ts1 = fresh()
+    it1 = iter(dl1)
+    stream = []
+    # epoch 1 has 5 batches; consume 7 -> rollover happens inside load_new_batch
+    for _ in range(7):
+        batch, it1 = load_new_batch(dl1, it1, ts1)
+        stream.append(batch[1])
+    snapshot = ts1.state_dict()
+    # uninterrupted continuation
+    cont = []
+    for _ in range(3):
+        batch, it1 = load_new_batch(dl1, it1, ts1)
+        cont.append(batch[1])
+
+    # resume from the snapshot into a fresh sampler
+    s2, dl2, ts2 = fresh()
+    ts2.load_state_dict(snapshot, train_dl=dl2)
+    it2 = iter(dl2)
+    resumed = []
+    for _ in range(3):
+        batch, it2 = load_new_batch(dl2, it2, ts2)
+        resumed.append(batch[1])
+    assert resumed == cont, (resumed, cont)
