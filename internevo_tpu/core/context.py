@@ -88,6 +88,7 @@ MODE_TO_AXES: dict[ParallelMode, tuple[str, ...]] = {
     ParallelMode.EXPERT: (EP,),
     ParallelMode.EXPERT_DATA: (DP, ZERO),
     ParallelMode.DUMMY: (),
+    ParallelMode.NETTEST: ("pp", "dp", "ep", "zero", "tp"),  # diagnostics run full-mesh
 }
 
 # "rsp" (ring sequence parallel) is a TPU-native extension: isp weight/
@@ -136,6 +137,13 @@ def _derive_sizes(world: int, parallel_cfg: Config, num_experts: int = 1) -> Par
     # zero1 == dp, launch.py:437-445, so zero is where the room is)
     ep = 1
     if num_experts > 1:
+        # the reference FORBIDS zero1 != dp for MoE (launch.py:437-445); with
+        # zero1 < dp_total the expert optimizer state would silently replicate
+        # over the residual dp axis (expert state shards over (EP, ZERO) only)
+        if zero1 != dp_total:
+            raise ValueError(
+                f"MoE requires zero1 == dp ({dp_total}); got zero1={zero1} "
+                "(reference launch.py:437-445 enforces the same)")
         ep = min(zero1, num_experts)
         while ep > 1 and (zero1 % ep or num_experts % ep):
             ep -= 1
@@ -244,7 +252,10 @@ class ParallelContext:
         return self.get_local_rank(mode) == 0
 
     def is_last_rank(self, mode: ParallelMode) -> bool:
-        return self.get_local_rank(mode) == self.get_world_size(mode) - 1
+        # single-controller: this process plays EVERY rank, so first/last rank
+        # predicates are both True (mirrors is_first_rank/is_pipeline_last_stage;
+        # per-stage identity lives in traced code, not host predicates)
+        return True
 
     def is_pipeline_first_stage(self) -> bool:
         return True  # host-side view; stage identity lives in traced code

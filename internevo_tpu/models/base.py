@@ -316,7 +316,8 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
 
         ring = jax.shard_map(
             _partial(ring_attention, axis_name="tp",
-                     softmax_scale=1.0 / math.sqrt(cfg.head_dim)),
+                     softmax_scale=1.0 / math.sqrt(cfg.head_dim),
+                     max_segment_len=cfg.max_segment_len),
             mesh=sh.mesh,
             in_specs=(_P(None, "tp"), _P(None, "tp"), _P(None, "tp"), _P(None, "tp")),
             out_specs=_P(None, "tp"),

@@ -11,12 +11,19 @@ This module adds it TPU-natively:
   the visiting kv chunk, then ``ppermute`` the kv block one step around the
   ring (ICI neighbor traffic only, overlapped by XLA with the kernel);
 - partial results merge by log-sum-exp using the kernel's differentiable lse
-  (``ops/pallas/splash_attention.splash_attention_with_lse``);
+  (``ops/pallas/splash_attention.splash_attention_with_lse``), accumulated in
+  fp32 (bf16 re-rounding would compound across ring steps);
 - causality across chunks is positional: a visiting chunk strictly before the
   resident chunk attends fully, the resident chunk attends causally to itself,
   later chunks are skipped (lax.cond — no compute, the ppermute still runs);
 - packed segment ids travel with the kv chunk, so samples spanning chunk
-  boundaries mask correctly.
+  boundaries mask correctly; with no segment ids the kernel's no-mask fast
+  path is preserved (None propagates, nothing rides the ring).
+
+Known trade: the chunk-order schedule is causally imbalanced (device 0 skips
+most steps while device n-1 computes most); a zigzag/striped chunk assignment
+would halve the critical path at large n — revisit if rsp becomes the
+production long-context mode.
 
 Backward is jax.grad through the scan/ppermute/cond; the lse cotangent folds
 into the flash backward's delta.
@@ -36,14 +43,14 @@ NEG_INF = -jnp.inf
 
 def _merge(o_acc, lse_acc, o_r, lse_r):
     """Numerically safe log-sum-exp merge of two partial attention results.
-    o: (B, S, H, D); lse: (B, H, S)."""
+    o_acc: (B, S, H, D) fp32; o_r: any float dtype; lse: (B, H, S) fp32."""
     new_lse = jnp.logaddexp(lse_acc, lse_r)
     # rows where both partials are empty stay empty (0 output)
     w_acc = jnp.where(jnp.isneginf(new_lse), 0.0, jnp.exp(lse_acc - new_lse))
     w_r = jnp.where(jnp.isneginf(new_lse), 0.0, jnp.exp(lse_r - new_lse))
     w_acc = jnp.transpose(w_acc, (0, 2, 1))[..., None]  # (B, S, H, 1)
     w_r = jnp.transpose(w_r, (0, 2, 1))[..., None]
-    o = o_acc * w_acc.astype(o_acc.dtype) + o_r * w_r.astype(o_r.dtype)
+    o = o_acc * w_acc + o_r.astype(jnp.float32) * w_r
     return o, new_lse
 
 
@@ -54,55 +61,68 @@ def ring_attention(
     segment_ids: Optional[jax.Array],
     axis_name: str,
     softmax_scale: Optional[float] = None,
+    max_segment_len: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Inside shard_map manual over ``axis_name``: all arrays are LOCAL chunks
     (B, S_local, H, D) / (B, S_local); chunks are ordered by device index along
-    the ring.  Returns the local chunk of the attention output."""
+    the ring.  Returns the local chunk of the attention output.
+
+    ``max_segment_len`` (the packed-segment bound) feeds the splash kernel's
+    kv-block budget on the resident causal chunk — without it every q block
+    scans every kv block."""
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     B, S_loc, Hq, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D**-0.5
-    if segment_ids is None:
-        segment_ids = jnp.ones((B, S_loc), jnp.int32)
+    use_segs = segment_ids is not None
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step(carry, _):
-        o_acc, lse_acc, k_r, v_r, seg_r, src = carry
-
+    def compute(k_r, v_r, seg_r, src):
         def causal_chunk():
             # the resident chunk (src == my): kv ids ARE the local ids, so pass
             # the same array — the splash segment windows then engage and
             # masked blocks cost zero grid steps
-            return splash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
-                                             kv_segment_ids=segment_ids, softmax_scale=scale,
-                                             causal=True, interpret=interpret)
+            return splash_attention_with_lse(
+                q, k_r, v_r, segment_ids=segment_ids,
+                kv_segment_ids=segment_ids, softmax_scale=scale, causal=True,
+                max_segment_len=max_segment_len, interpret=interpret)
 
         def full_chunk():
-            return splash_attention_with_lse(q, k_r, v_r, segment_ids=segment_ids,
-                                             kv_segment_ids=seg_r, softmax_scale=scale,
-                                             causal=False, interpret=interpret)
+            return splash_attention_with_lse(
+                q, k_r, v_r, segment_ids=segment_ids,
+                kv_segment_ids=seg_r if use_segs else None, softmax_scale=scale,
+                causal=False, interpret=interpret)
 
         def skip_chunk():
             return (jnp.zeros_like(q), jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32))
 
-        o_r, lse_r = jax.lax.cond(
+        return jax.lax.cond(
             src == my, causal_chunk,
             lambda: jax.lax.cond(src < my, full_chunk, skip_chunk),
         )
-        o_acc, lse_acc = _merge(o_acc, lse_acc, o_r, lse_r)
 
+    def step(carry, _):
+        o_acc, lse_acc, k_r, v_r, seg_r, src = carry
+        o_r, lse_r = compute(k_r, v_r, seg_r, src)
+        o_acc, lse_acc = _merge(o_acc, lse_acc, o_r, lse_r)
+        # compute(k_r) and ppermute(k_r) are independent — XLA overlaps them
         k_n = jax.lax.ppermute(k_r, axis_name, perm)
         v_n = jax.lax.ppermute(v_r, axis_name, perm)
-        seg_n = jax.lax.ppermute(seg_r, axis_name, perm)
+        seg_n = jax.lax.ppermute(seg_r, axis_name, perm) if use_segs else seg_r
         src_n = jax.lax.ppermute(src, axis_name, perm)
         return (o_acc, lse_acc, k_n, v_n, seg_n, src_n), None
 
     init = (
-        jnp.zeros_like(q),
+        jnp.zeros(q.shape, jnp.float32),
         jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32),
-        k, v, segment_ids, my,
+        k, v, segment_ids if use_segs else jnp.zeros((), jnp.int32), my,
     )
-    (o, _lse, *_), _ = jax.lax.scan(step, init, None, length=n)
+    # n-1 scanned steps (compute + rotate), final visiting chunk computed
+    # OUTSIDE the scan — its rotate would be discarded work
+    carry, _ = jax.lax.scan(step, init, None, length=n - 1)
+    o_acc, lse_acc, k_r, v_r, seg_r, src = carry
+    o_r, lse_r = compute(k_r, v_r, seg_r, src)
+    o, _ = _merge(o_acc, lse_acc, o_r, lse_r)
     return o.astype(q.dtype)

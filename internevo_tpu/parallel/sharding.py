@@ -316,7 +316,12 @@ def current_rules_from_context() -> ShardingRules:
     pp = (gpc.sizes.pp > 1) if gpc.sizes else False
     if fsdp:
         assert not pp, "zero1.fsdp requires pp == 1 (reference launch.py constraint)"
-    wp = int(gpc.config.get("parallel", {}).get("weight", {}).get("size", 0) or 0) if gpc.config else 0
+    w_cfg = gpc.config.get("parallel", {}).get("weight", 1) if gpc.config else 1
+    # scalar form (parallel.weight = 4) is accepted everywhere else — here too.
+    # default 1 matches _derive_sizes (wp=1 = weight parallel off = unsharded
+    # storage, the reference's default); wp=0 keeps the round-1 behavior of
+    # sharding isp storage over the full (zero, tp) group
+    wp = int(w_cfg.get("size", 1) if isinstance(w_cfg, dict) else w_cfg)
     rules = ShardingRules(
         mesh=gpc.mesh,
         tp_mode=gpc.tensor_mode,

@@ -112,7 +112,7 @@ def test_moe_model_trains_e2e():
         adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
                   adam_eps=1e-8, weight_decay=0.01),
         lr_scheduler=dict(total_steps=4, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
-        parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+        parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
                       pipeline=dict(size=1), weight=dict(size=1)),
     )
     launch(config, seed=1024)
@@ -207,7 +207,7 @@ def test_dropless_model_e2e():
         adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
                   adam_eps=1e-8, weight_decay=0.01),
         lr_scheduler=dict(total_steps=3, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
-        parallel=dict(zero1=dict(size=4), tensor=dict(size=1, mode="mtp"),
+        parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
                       pipeline=dict(size=1), weight=dict(size=1)),
     )
     launch(config, seed=1024)
@@ -260,35 +260,75 @@ def test_expert_parallel_shards_experts_over_ep_axis():
 
 
 def test_moe_ep_loss_matches_replicated():
-    """EP must be a pure layout change: same loss curve as running the same
-    model/data with experts replicated (ep=1 via single-device-group)."""
-    from tests.test_training.test_loss import run_training
-
-    base = dict(
-        model_type="INTERNLM_MoE",
-        data=dict(seq_len=128, micro_num=2, micro_bsz=1, total_steps=3,
-                  rampup_batch_size="", train_folder=None, num_random_samples=1000,
-                  fixed_random_dataset_seqlen=True),
-        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=512,
-                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
-                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
-                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
-                   num_experts=4, top_k=2),
-        loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
-        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
-                  adam_eps=1e-8, weight_decay=0.01),
-        lr_scheduler=dict(total_steps=3, init_steps=0, warmup_ratio=0.25, eta_min=1e-5),
-        parallel=dict(zero1=dict(size=2), tensor=dict(size=1, mode="mtp"),
-                      pipeline=dict(size=1), weight=dict(size=1)),
-    )
+    """EP must be a pure layout change: the same LOGICAL computation on a
+    4-device mesh (ep=4, experts sharded) and a 1-device mesh (ep=1, experts
+    local) must produce the same loss curve.  The batch is constructed in
+    memory and re-packed (4 rows of 128 <-> 1 row of 512 with 4 segments) so
+    both runs see byte-identical tokens and identical per-micro gating groups
+    (gshard's aux loss / capacity are per-gating-call statistics)."""
     import copy
 
-    # same 4 devices / same global batch; zero1=4 carves ep=4 (experts sharded
-    # 4-way), zero1=1 leaves ep=1 (experts replicated) — losses must match
-    ep_cfg = copy.deepcopy(base)
-    ep_cfg["parallel"]["zero1"] = dict(size=4)
-    losses_ep, _ = run_training(ep_cfg, steps=3, n_devices=4)
-    rep_cfg = copy.deepcopy(base)
-    rep_cfg["parallel"]["zero1"] = dict(size=1)
-    losses_rep, _ = run_training(rep_cfg, steps=3, n_devices=4)
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import (
+        batch_to_device, initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(0)
+    # (steps, micro_num=2, rows=4, seq) token/label material shared by both runs
+    toks = rng.randint(1, V, (steps, 2, 4, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 4, seq)).astype(np.int32)
+
+    def cfg(micro_bsz):
+        return dict(
+            model_type="INTERNLM_MoE",
+            data=dict(seq_len=seq, micro_num=2, micro_bsz=micro_bsz, total_steps=steps,
+                      packed_length=seq * micro_bsz),
+            model=dict(checkpoint=False, num_attention_heads=4, vocab_size=V,
+                       embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                       num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                       norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                       # deterministic gating + no-drop capacity: stochastic
+                       # draws / capacity cutoffs would differ across layouts
+                       num_experts=4, top_k=1, moe_use_rts=False,
+                       moe_capacity_factor=4.0, moe_eval_capacity_factor=4.0),
+            loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+            adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                      adam_eps=1e-8, weight_decay=0.01),
+            lr_scheduler=dict(total_steps=steps, init_steps=0, warmup_ratio=0.25,
+                              eta_min=1e-5),
+            parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
+                          pipeline=dict(size=1), weight=dict(size=1)),
+        )
+
+    def run(n_devices, micro_bsz, pack):
+        launch(cfg(micro_bsz), seed=1024, devices=jax.devices()[:n_devices])
+        model, params = initialize_model()
+        opt_state, lrs, b2 = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lrs, b2)
+        dp = gpc.sizes.dp_total
+        losses = []
+        for s in range(steps):
+            if pack == "rows":       # (2, 4, 128): one row per dp slot
+                ti, li = toks[s], labs[s]
+                seg = np.ones_like(ti)
+                idx = np.tile(np.arange(seq, dtype=np.int32), (2, 4, 1))
+            else:                    # (2, 1, 512): 4 segments in one packed row
+                ti = toks[s].reshape(2, 1, 4 * seq)
+                li = labs[s].reshape(2, 1, 4 * seq)
+                seg = np.repeat(np.arange(1, 5, dtype=np.int32), seq)[None, None, :].repeat(2, 0)
+                idx = np.tile(np.arange(seq, dtype=np.int32), (2, 1, 4))
+            batch = {
+                "input_ids": jnp.asarray(ti), "labels": jnp.asarray(li),
+                "segment_ids": jnp.asarray(seg), "indexes": jnp.asarray(idx),
+            }
+            losses.append(float(trainer.execute_schedule(batch)["loss"]))
+        return losses
+
+    losses_ep = run(4, 1, "rows")       # dp_total=4, zero=4 -> ep=4 (sharded)
+    assert gpc.sizes.ep == 4, gpc.sizes
+    losses_rep = run(1, 4, "packed")    # 1 device -> ep=1 (experts local)
+    assert gpc.sizes.ep == 1, gpc.sizes
     np.testing.assert_allclose(losses_ep, losses_rep, rtol=3e-4, atol=3e-5)
