@@ -150,12 +150,58 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=donate_argnums)
 
 
-def make_eval_step(model: ModelDef, label_smoothing: float = 0.0) -> Callable:
-    """forward_only schedule (reference ``forward_backward_step(forward_only=True)``)."""
+def make_eval_step(model: ModelDef, label_smoothing: float = 0.0,
+                   per_token: bool = False, layer_perm_inv=None) -> Callable:
+    """forward_only schedule (reference ``forward_backward_step(forward_only=True)``).
+
+    ``per_token=True`` additionally returns per-token ``nll`` (B, S) fp32 and
+    ``correct`` (B, S) bool so the caller can fill ``AccPerplex`` /
+    ``LossWithTypeId`` per-dataset-type validation bins (reference
+    ``SchedulerMetricHook`` feeding ``model/metrics.py:55-338``).
+
+    ``layer_perm_inv``: interleaved-pp training stores block params in PIPELINE
+    order (``parallel.pipeline.interleaved_layer_layout``); eval runs the plain
+    GSPMD forward, so un-permute the stacked layers back to natural order
+    first."""
+    cfg = model.config
 
     def eval_step(params, batch):
-        loss, (ce_loss, n_valid, n_correct, _moe) = _micro_loss_and_metrics(
-            model, params, batch, label_smoothing, is_train=False)
-        return {"loss": ce_loss, "n_tokens": n_valid, "n_correct": n_correct}
+        if layer_perm_inv is not None:
+            from ...parallel.pipeline import permute_layers
+
+            params = {**params, "blocks": permute_layers(params["blocks"], layer_perm_inv)}
+        if not per_token:
+            loss, (ce_loss, n_valid, n_correct, _moe) = _micro_loss_and_metrics(
+                model, params, batch, label_smoothing, is_train=False)
+            return {"loss": ce_loss, "n_tokens": n_valid, "n_correct": n_correct}
+
+        if getattr(cfg, "num_experts", 1) <= 1 and cfg.norm_type == "rmsnorm":
+            from ...ops.fused_ce import fused_norm_head_nll_tokens, gpc_loss_knobs
+
+            hidden = model.apply(params, batch["input_ids"], batch["indexes"],
+                                 batch["segment_ids"], train=False, return_hidden=True)
+            nll, cor = fused_norm_head_nll_tokens(
+                hidden, params["norm"], params["head"]["kernel"], batch["labels"],
+                eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
+                norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+                chunk_size=gpc_loss_knobs()["chunk_size"])
+        else:
+            out = model.apply(params, batch["input_ids"], batch["indexes"],
+                              batch["segment_ids"], train=False)
+            logits = (out[0] if isinstance(out, tuple) else out).astype(jnp.float32)
+            lab = batch["labels"]
+            valid = lab != -100
+            safe = jnp.where(valid, lab, 0)
+            lse = jax.nn.logsumexp(logits, axis=-1)
+            nll = lse - jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+            if label_smoothing > 0.0:
+                nll = ((1 - label_smoothing) * nll
+                       + label_smoothing * (lse - jnp.mean(logits, axis=-1)))
+            nll = jnp.where(valid, nll, 0.0)
+            cor = (jnp.argmax(logits, axis=-1) == lab) & valid
+        n_valid = jnp.sum(batch["labels"] != -100)
+        nll_sum = jnp.sum(nll)
+        return {"loss": nll_sum / jnp.maximum(n_valid, 1), "n_tokens": n_valid,
+                "n_correct": jnp.sum(cor), "nll": nll, "correct": cor}
 
     return jax.jit(eval_step)

@@ -26,7 +26,7 @@ from .packed_dataset import (
     get_packed_dataset_without_short_length,
 )
 from .single_dataset import JsonlDataset
-from .utils import get_dataset_type_ids_map
+from .utils import get_dataset_type_id, get_dataset_type_ids_map
 
 
 class DataLoader:
@@ -157,8 +157,13 @@ def build_valid_loader_with_data_type():
         for root, _dirs, files in os.walk(data_cfg.valid_folder, followlinks=True):
             for fn in sorted(files):
                 if fn.endswith(".bin"):
-                    name = os.path.relpath(os.path.join(root, fn), data_cfg.valid_folder)
-                    valid_ds[name] = JsonlDataset(os.path.join(root, fn), 0, min_length=0)
+                    path = os.path.join(root, fn)
+                    name = os.path.relpath(path, data_cfg.valid_folder)
+                    try:  # type id from the folder layout (ref utils.py:11-24)
+                        tid = get_dataset_type_id(path)
+                    except AssertionError:
+                        tid = 0
+                    valid_ds[name] = JsonlDataset(path, tid, min_length=0)
     collate = partial(jsonl_ds_collate_fn, max_length_per_sample=data_cfg.seq_len)
     dp_rank, dp_size, _local_dp = _data_rank_and_size()
     loaders = {}

@@ -51,7 +51,7 @@ def jsonl_ds_collate_fn(batch, max_length_per_sample: int):
     """Eval collater: pad whole samples to max_length (ref :61-88); emits
     segment_ids (1 = real tokens, 0 = pad) and restart positions for parity with
     the packed path."""
-    xs, ys = [], []
+    xs, ys, tids = [], [], []
     for x in batch:
         # negative ids mark loss-masked tokens (SFT prompts; ref collaters.py:70:
         # labels from the RAW signed tokens, inputs from abs())
@@ -61,12 +61,14 @@ def jsonl_ds_collate_fn(batch, max_length_per_sample: int):
         labels = np.concatenate([labels[1:], [-100]])
         xs.append(tokens)
         ys.append(labels)
+        tids.append(int(x.get("type_id", 0)))
     maxlen = max_length_per_sample
     B = len(xs)
     input_ids = np.zeros((B, maxlen), dtype=np.int32)
     label_arr = np.full((B, maxlen), -100, dtype=np.int32)
     seg = np.zeros((B, maxlen), dtype=np.int32)
     pos = np.zeros((B, maxlen), dtype=np.int32)
+    type_ids = np.zeros((B, maxlen), dtype=np.int32)
     for i, (t, l) in enumerate(zip(xs, ys)):
         n = len(t)
         input_ids[i, :n] = t
@@ -74,4 +76,6 @@ def jsonl_ds_collate_fn(batch, max_length_per_sample: int):
         seg[i, :n] = 1
         pos[i, :n] = np.arange(n)
         pos[i, n:] = np.arange(maxlen - n)
-    return {"input_ids": input_ids, "segment_ids": seg, "indexes": pos}, label_arr
+        type_ids[i, :] = tids[i]
+    return {"input_ids": input_ids, "segment_ids": seg, "indexes": pos,
+            "type_ids": type_ids}, label_arr

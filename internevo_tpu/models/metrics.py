@@ -89,6 +89,29 @@ class AccPerplex:
                 self.type_total[t] += int(m.sum())
                 self.type_right[t] += int(((pred == lab) & m).sum())
 
+    def update_from_token_stats(self, nll, correct, labels, type_ids=None):
+        """Accumulate from precomputed per-token (nll, correct) arrays — the
+        logits-free eval path (``make_eval_step(per_token=True)`` never
+        materializes the (tokens, vocab) logits)."""
+        nll = np.asarray(nll).reshape(-1)
+        cor = np.asarray(correct).reshape(-1)
+        lab = np.asarray(labels).reshape(-1)
+        valid = lab != -100
+        self.right += int(cor.sum())
+        self.total += int(valid.sum())
+        self.total_log_probs += float(nll.sum())
+        if self.tokenizer is not None:
+            self.total_bytes += self._bytes_of(lab[valid])
+        self.loss_with_type_id.update_from_nll(nll, lab, type_ids)
+        if type_ids is not None and self.dataset_types:
+            tid = np.asarray(type_ids).reshape(-1)
+            n_types = len(self.dataset_types)
+            totals = np.bincount(tid[valid], minlength=n_types)
+            rights = np.bincount(tid[valid], weights=cor[valid], minlength=n_types)
+            for i, t in enumerate(self.dataset_types):
+                self.type_total[t] += int(totals[i])
+                self.type_right[t] += int(rights[i])
+
     def __call__(self, logits, labels, type_ids=None):
         self.update(logits, labels, type_ids=type_ids)
 

@@ -136,3 +136,55 @@ def fused_norm_head_ce(
     init = (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     (nll_sum, n_valid, n_correct), _ = jax.lax.scan(scan_body, init, (h_chunks, lab_chunks))
     return nll_sum, n_valid, n_correct
+
+
+def fused_norm_head_nll_tokens(
+    hidden: jax.Array,            # (B, S, H) pre-final-norm activations
+    norm_weight: jax.Array,       # (H,)
+    head_kernel: jax.Array,       # (H, V)
+    labels: jax.Array,            # (B, S) int, -100 ignored
+    *,
+    eps: float = 1e-5,
+    embed_grad_scale: float = 1.0,
+    norm_head: bool = False,
+    label_smoothing: float = 0.0,
+    chunk_size: int = None,
+):
+    """Eval-only per-token variant: returns (nll (B,S) fp32, correct (B,S)
+    bool) without ever materializing the full (tokens, V) logits.  Feeds
+    ``AccPerplex``/``LossWithTypeId`` per-type validation bins (reference
+    ``SchedulerMetricHook`` -> ``metrics.py:55-338``)."""
+    B, S, H = hidden.shape
+    tokens = B * S
+    flat_h = hidden.reshape(tokens, H)
+    flat_lab = labels.reshape(tokens)
+    chunk_size = min(chunk_size or 512, tokens)
+    rem = (-tokens) % chunk_size
+    if rem:
+        flat_h = jnp.concatenate([flat_h, jnp.zeros((rem, H), flat_h.dtype)])
+        flat_lab = jnp.concatenate([flat_lab, jnp.full((rem,), -100, flat_lab.dtype)])
+    nc = flat_h.shape[0] // chunk_size
+
+    w = head_kernel
+    if norm_head:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
+        w = (w / (norm + 1e-7)).astype(w.dtype)
+
+    def chunk_body(_, xs):
+        h_c, lab_c = xs
+        hn = rms_norm(h_c, norm_weight, eps=eps, out_dtype=h_c.dtype)
+        logits = jnp.dot(hn, w.astype(hn.dtype)).astype(jnp.float32)
+        valid = lab_c != -100
+        safe = jnp.where(valid, lab_c, 0)
+        lse = jax.nn.logsumexp(logits, axis=-1)
+        nll = lse - jnp.take_along_axis(logits, safe[:, None], axis=-1)[:, 0]
+        if label_smoothing > 0.0:
+            nll = (1 - label_smoothing) * nll + label_smoothing * (lse - jnp.mean(logits, axis=-1))
+        cor = (jnp.argmax(logits, axis=-1) == lab_c) & valid
+        return None, (jnp.where(valid, nll, 0.0), cor)
+
+    _, (nll, cor) = jax.lax.scan(
+        chunk_body, None,
+        (flat_h.reshape(nc, chunk_size, H), flat_lab.reshape(nc, chunk_size)))
+    return (nll.reshape(-1)[:tokens].reshape(B, S),
+            cor.reshape(-1)[:tokens].reshape(B, S))
