@@ -20,6 +20,8 @@ import os
 import pickle
 import shutil
 import time
+
+import jax
 from pathlib import Path
 from typing import Optional
 
@@ -57,20 +59,54 @@ class CheckpointLoadMask:
         return f"{self.load_set}"
 
 
+def _relayout(tree, idx):
+    """Permute the stacked-layer dim of every ``blocks`` subtree in a params or
+    opt_state tree (checkpoints store NATURAL layer order; interleaved-pp
+    training stores PIPELINE order — ``parallel.pipeline.interleaved_layer_layout``).
+    Shapes are unchanged; each leaf keeps its sharding."""
+    import jax
+
+    from ..parallel.pipeline import permute_layers
+
+    def fix(sub):
+        if isinstance(sub, dict) and "blocks" in sub:
+            return {**sub, "blocks": permute_layers(sub["blocks"], idx)}
+        return sub
+
+    def go(t):
+        if isinstance(t, dict) and "blocks" in t:            # params tree
+            return fix(t)
+        return {k: fix(v) if isinstance(v, dict) else v for k, v in t.items()}
+
+    sh = jax.tree.map(lambda a: a.sharding, tree)
+    return jax.jit(go, out_shardings=sh)(tree)
+
+
+def _active_layout():
+    from ..parallel.pipeline import active_layer_layout
+
+    return active_layer_layout()
+
+
 def try_load_internevo_ckpt(engine, train_state, ckpt_path: str, load_mask: CheckpointLoadMask):
     """Load an internevo_tpu checkpoint directory into the engine/train_state."""
     import orbax.checkpoint as ocp
 
     path = Path(ckpt_path).resolve()
     ckptr = ocp.StandardCheckpointer()
+    layout = _active_layout()
     if load_mask.need_load("model"):
         target = {"params": engine.params}
         restored = ckptr.restore(path / "arrays_model", target)
         engine.params = restored["params"]
+        if layout is not None:  # natural (on disk) -> pipeline (in memory)
+            engine.params = _relayout(engine.params, layout[0])
     if load_mask.need_load("optimizer"):
         target = {"opt_state": engine.opt_state}
         restored = ckptr.restore(path / "arrays_opt", target)
         engine.opt_state = restored["opt_state"]
+        if layout is not None:
+            engine.opt_state = _relayout(engine.opt_state, layout[0])
     meta_file = path / "context.pkl"
     if meta_file.exists():
         with open(meta_file, "rb") as f:
@@ -151,8 +187,12 @@ class CheckpointManager:
             c.wait_until_finished()
         path, step, t0 = self._pending_stamp
         self._pending_stamp = None
-        with open(os.path.join(path, f"{step}.step"), "w") as f:
-            f.write(str(step))
+        # single-writer stamp: every process barriers on the async writes
+        # above, but only process 0 writes the completeness marker — a torn
+        # concurrent write could race an auto-resume scan on a shared FS
+        if jax.process_index() == 0:
+            with open(os.path.join(path, f"{step}.step"), "w") as f:
+                f.write(str(step))
         if gpc.is_rank_for_log():
             logger.info("checkpoint %s finalized (%.2fs since snapshot)", path, time.time() - t0)
 
@@ -187,10 +227,18 @@ class CheckpointManager:
 
             multihost_utils.sync_global_devices("ckpt_dir_ready")
         ck_model, ck_opt = self._checkpointers()
+        params_out, opt_out = self.engine.params, self.engine.opt_state
+        layout = _active_layout()
+        if layout is not None:
+            # canonicalize: interleaved-pp stores blocks in PIPELINE order in
+            # memory; checkpoints always hold NATURAL order so they round-trip
+            # across pp/num_chunks topologies (and feed the HF converters)
+            params_out = _relayout(params_out, layout[1])
+            opt_out = _relayout(opt_out, layout[1])
         ck_model.save(path_p.resolve() / "arrays_model",
-                      args=ocp.args.StandardSave({"params": self.engine.params}))
+                      args=ocp.args.StandardSave({"params": params_out}))
         ck_opt.save(path_p.resolve() / "arrays_opt",
-                    args=ocp.args.StandardSave({"opt_state": self.engine.opt_state}))
+                    args=ocp.args.StandardSave({"opt_state": opt_out}))
         meta = {
             "train_state": (train_state or self.train_state).state_dict(),
             "lr_scheduler": self.engine.lr_scheduler.state_dict(),

@@ -184,6 +184,11 @@ def try_load_hf_llama_ckpt(engine, train_state, ckpt_path: str, load_mask):
     sd = {k: v.detach().cpu().numpy() for k, v in hf_model.state_dict().items()}
     cfg = engine.model.config
     engine.params = from_hf_llama(sd, cfg)
+    from .checkpoint_manager import _active_layout, _relayout
+
+    layout = _active_layout()
+    if layout is not None:  # interleaved-pp stores blocks in pipeline order
+        engine.params = _relayout(engine.params, layout[0])
     return True
 
 

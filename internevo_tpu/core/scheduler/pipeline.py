@@ -30,21 +30,43 @@ def make_pipeline_train_step(
     label_smoothing: float = 0.0,
     num_chunks: int = 1,
     donate: bool = True,
+    moe_loss_coeff: float = 0.01,
 ) -> Callable:
     """The pipeline microbatch loop replaces the grad-accumulation scan: all
     micro_num microbatches flow through the pipeline in one fwd/bwd pass
     (reference behavior: the 1F1B loop consumes every micro batch)."""
+    # initialize_model stores interleaved-pp block params in pipeline order
+    # permanently (no per-step take/un-take resharding)
     loss_fn = pipeline_loss_fn(model.config, rules.mesh, pp, label_smoothing,
-                               num_chunks=num_chunks, tp_mode=rules.tp_mode)
+                               num_chunks=num_chunks, tp_mode=rules.tp_mode,
+                               moe_loss_coeff=moe_loss_coeff, pre_permuted=True)
+
+    # stochastic layers (residual dropout, MoE gate noise) draw from the SAME
+    # stream derivation as the non-pipeline scheduler: (base seed, optimizer
+    # step, micro, layer, tag) — at dp_total=1 the pp>1 loss curve is
+    # bit-identical to pp=1 under dropout
+    cfg = model.config
+    moe_stochastic = getattr(cfg, "num_experts", 1) > 1 and (
+        getattr(cfg, "moe_use_rts", True)
+        or getattr(cfg, "top_k", 1) >= 2
+        or getattr(cfg, "moe_noisy_gate_policy", None) is not None)
+    stochastic = getattr(cfg, "drop_rate", 0.0) > 0.0 or moe_stochastic
+    if stochastic:
+        from ..context import gpc
+
+        base_rng = gpc.rng("dropout")
 
     def train_step(params, opt_state, batch, lr, beta2):
         scale = opt_state["grad_scale"]
+        step_rng = (jax.random.fold_in(base_rng, opt_state["step"].astype(jnp.int32))
+                    if stochastic else None)
 
         def scaled_loss(p):
-            loss, aux = loss_fn(p, batch)
+            loss, aux = loss_fn(p, batch, step_rng)
             return loss * scale, aux
 
-        grads, (loss, n_tok, n_cor) = jax.grad(scaled_loss, has_aux=True)(params)
+        grads, (loss, n_tok, n_cor, moe_loss) = jax.grad(
+            scaled_loss, has_aux=True)(params)
         new_params, new_opt_state, stats = optimizer_step(
             params, grads, opt_state, lr, beta2, adam_cfg=adam_cfg, scaler_cfg=scaler_cfg
         )
@@ -58,7 +80,7 @@ def make_pipeline_train_step(
             "n_tokens": n_tok,
             "acc": n_cor / jnp.maximum(n_tok, 1),
             "perplexity": jnp.exp(loss),
-            "moe_loss": jnp.zeros((), jnp.float32),
+            "moe_loss": moe_loss,
         }
         return new_params, new_opt_state, metrics
 

@@ -68,32 +68,31 @@ def args_sanity_check() -> None:
     assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp", "rsp"), parallel.tensor.mode
     if parallel.weight.get("size", 1) > 1:
         assert parallel.tensor.mode == "isp", "weight parallel requires isp (ref launch.py:383-384)"
-    if parallel.pipeline.get("size", 1) > 1 and parallel.tensor.mode in ("isp", "rsp"):
-        # the manual-collective pipeline implements mtp/msp/fsp tensor modes;
-        # isp (Ulysses a2a + wp weight sharding) and rsp (ring) would silently
-        # degrade to mtp semantics inside the stages — fail loudly instead
-        raise NotImplementedError(
-            f"tensor mode '{parallel.tensor.mode}' is not supported inside the "
-            "pipeline schedule; use msp/fsp with pipeline.size > 1 (isp/rsp "
-            "run at pipeline.size == 1)")
     # dropout semantics (reference SeedManager tp-offset streams,
     # core/context/random.py:16): residual dropout is supported on every GSPMD
     # topology — jax_threefry_partitionable makes the mask a function of the
     # LOGICAL element index, so tp/sp shards draw decorrelated bits and the
     # loss is partition-invariant (stronger than the reference's per-rank
-    # streams, which only decorrelate).  The manual-collective pipeline path
-    # does not thread an rng, and the splash kernel has no in-kernel
-    # probability dropout (reference flash-attn attn_drop) — fail loudly there.
+    # streams, which only decorrelate).  The manual pipeline threads a
+    # (step, micro, layer)-folded rng (parallel/pipeline._pdrop).  The splash
+    # kernel has no in-kernel probability dropout (reference flash-attn
+    # attn_drop) — fail loudly there.
     model_cfg = cfg.get("model", {})
     if float(model_cfg.get("attn_drop_rate", 0.0) or 0.0) > 0.0:
         raise NotImplementedError(
             "attention-probability dropout is not implemented in the splash "
             "kernel; set attn_drop_rate=0 (shipped reference configs use 0)")
-    if (float(model_cfg.get("drop_rate", 0.0) or 0.0) > 0.0
-            and parallel.pipeline.get("size", 1) > 1):
-        raise NotImplementedError(
-            "residual dropout is not threaded through the manual pipeline "
-            "schedule; set drop_rate=0 or pipeline.size=1")
+    # MoE x pipeline composition (reference pipelines MoE with accum_moe_loss,
+    # pipeline_scheduler.py:307-320): the manual 1F1B stage function runs the
+    # GShard ffn with an explicit expert a2a — supported for tensor mode mtp;
+    # the seq-parallel modes would need per-chunk gating semantics the
+    # reference does not define, so fail loudly instead of silently degrading
+    if int(model_cfg.get("num_experts", 1) or 1) > 1 and parallel.pipeline.get("size", 1) > 1:
+        if parallel.tensor.mode != "mtp":
+            raise NotImplementedError(
+                f"MoE with pipeline.size > 1 supports tensor mode 'mtp' only "
+                f"(got '{parallel.tensor.mode}'); run msp/fsp/isp MoE at "
+                "pipeline.size == 1")
 
     # ---- model defaults
     model = cfg.setdefault("model", Config())
@@ -135,10 +134,33 @@ def launch(
 ) -> None:
     """Load config, build mesh, install sharding rules (ref ``launch.py:448-513``)."""
     gpc.load_config(config)
+    weight_defaulted = "weight" not in gpc.config.get("parallel", {})
     args_sanity_check()
     gpc.init_parallel_groups(devices)
     gpc.set_seed(seed)
+    model_cfg = gpc.config.get("model", {})
+    if (int(model_cfg.get("num_experts", 1) or 1) > 1 and gpc.sizes.pp > 1
+            and gpc.sizes.ep > 1):
+        moe_type = str(model_cfg.get("moe_type", "GShard") or "GShard").lower()
+        if (moe_type in ("dropless", "megablock-d", "megablock")
+                or not model_cfg.get("moe_drop_tokens", True)):
+            raise NotImplementedError(
+                "dropless MoE inside the pipeline requires ep == 1 (the ragged "
+                "path has no manual expert a2a yet; derived ep="
+                f"{gpc.sizes.ep}); use the GShard capacity path for ep > 1 "
+                "under pp, or set zero1=1 to force ep=1")
     sharding.set_rules(sharding.current_rules_from_context())
+    # the default weight.size changed 0 -> 1 between rounds: isp/rsp configs
+    # that omit parallel.weight now store weights UNSHARDED (reference default).
+    # Configs that relied on the old implicit (zero, tp) sharding may OOM —
+    # warn once so the regression is visible (doc/usage.md "Weight parallel").
+    if (gpc.tensor_mode in ("isp", "rsp") and weight_defaulted
+            and gpc.sizes.zero * gpc.sizes.tp > 1):
+        logger.warning(
+            "isp/rsp with no parallel.weight config: weights are stored "
+            "UNSHARDED (weight.size=1, the reference default). Set "
+            "parallel.weight.size=%d to shard storage over the weight group "
+            "as earlier builds did implicitly.", gpc.sizes.zero * gpc.sizes.tp)
     if gpc.is_rank_for_log():
         s = gpc.sizes
         logger.info(

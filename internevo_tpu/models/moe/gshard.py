@@ -144,17 +144,38 @@ def moe_layer_apply(
     noisy_gate_policy: Optional[str] = None,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    manual_ep_axis: Optional[str] = None,
+    manual_ep_size: int = 1,
 ):
     """GShard MoE FFN over (B, S, H) activations.
 
     layer: {"gate": (H, E), "experts": {"w1": (E, H, M), "w3": (E, H, M),
     "w2": (E, M, H)}}.  Returns (out (B,S,H), l_aux, exp_counts).
+
+    ``manual_ep_axis``: inside a fully-manual shard_map (the 1F1B pipeline)
+    GSPMD constraints are unavailable — the expert all-to-all pair is issued
+    EXPLICITLY over that mesh axis instead (the hand-written analogue of the
+    reference ``moe/utils.py:8-62`` _AllToAll): dispatch (E, C, H) ->
+    (E/ep, ep*C, H) before the expert FFN, inverse after.  Expert weights then
+    arrive as the LOCAL (E/ep, ...) shard.
     """
+    if noisy_gate_policy not in (None, "RSample", "Jitter"):
+        # reference gshard_layer.py:403 asserts the same value set
+        raise ValueError(f"unsupported noisy_gate_policy {noisy_gate_policy!r}; "
+                         "expected None, 'RSample' or 'Jitter'")
     sh = get_rules()
     B, S, H = x.shape
     tokens = x.reshape(B * S, H)
     gate_w = layer["gate"].astype(jnp.float32)
-    logits = tokens.astype(jnp.float32) @ gate_w  # (s, E) fp32 (ref: gate in fp32)
+    gate_in = tokens.astype(jnp.float32)
+    if noisy_gate_policy == "Jitter" and train and rng is not None:
+        # multiplicative input jitter on the GATE input only (reference
+        # gshard_layer.py:340-342 multiplicative_jitter, epsilon=1e-2)
+        jit_rng, rng = jax.random.split(rng)
+        eps = 1e-2
+        gate_in = gate_in * jax.random.uniform(
+            jit_rng, gate_in.shape, jnp.float32, 1.0 - eps, 1.0 + eps)
+    logits = gate_in @ gate_w  # (s, E) fp32 (ref: gate in fp32)
 
     if top_k == 1:
         l_aux, combine, dispatch, exp_counts = top1gating(
@@ -171,12 +192,18 @@ def moe_layer_apply(
     # constraint into the EXPERT all-to-all (ref GShardMOELayer :445-498)
     E = gate_w.shape[1]
     ep_size = sh.mesh.shape.get(EP, 1) if sh.mesh is not None else 1
-    shard_experts = sh.mesh is not None and ep_size > 1
+    shard_experts = manual_ep_axis is None and sh.mesh is not None and ep_size > 1
+    manual_ep = manual_ep_axis is not None and manual_ep_size > 1
     dispatched = jnp.einsum("sec,sh->ech", dispatch.astype(x.dtype), tokens)
     if shard_experts:
         dispatched = jax.lax.with_sharding_constraint(
             dispatched, jax.sharding.NamedSharding(sh.mesh, P(EP, None, None))
         )
+    elif manual_ep:
+        # explicit expert a2a (manual shard_map): each rank sends the capacity
+        # rows of remote experts, receives its E/ep experts' rows from all ranks
+        dispatched = jax.lax.all_to_all(dispatched, manual_ep_axis,
+                                        split_axis=0, concat_axis=1, tiled=True)
     w1, w2, w3 = layer["experts"]["w1"], layer["experts"]["w2"], layer["experts"]["w3"]
     h1 = jnp.einsum("ech,ehm->ecm", dispatched, w1.astype(x.dtype))
     h3 = jnp.einsum("ech,ehm->ecm", dispatched, w3.astype(x.dtype))
@@ -186,5 +213,8 @@ def moe_layer_apply(
         expert_out = jax.lax.with_sharding_constraint(
             expert_out, jax.sharding.NamedSharding(sh.mesh, P(EP, None, None))
         )
+    elif manual_ep:
+        expert_out = jax.lax.all_to_all(expert_out, manual_ep_axis,
+                                        split_axis=1, concat_axis=0, tiled=True)
     combined = jnp.einsum("sec,ech->sh", combine.astype(x.dtype), expert_out)
     return combined.reshape(B, S, H), l_aux, exp_counts

@@ -85,6 +85,48 @@ def attention_reference(
     return out.astype(q.dtype)
 
 
+def attention_reference_with_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    segment_ids: Optional[jax.Array] = None,
+    kv_segment_ids: Optional[jax.Array] = None,
+    softmax_scale: Optional[float] = None,
+    causal: bool = True,
+):
+    """jnp oracle for ``splash_attention_with_lse``: (out (B,S,Hq,D), lse
+    (B,Hq,S) fp32).  kv may be a DIFFERENT chunk than q (ring attention's
+    rotated kv): ``kv_segment_ids`` masks cross-segment pairs against the
+    visiting chunk's ids; fully-masked q rows produce out=0, lse=-inf (the
+    identity of the log-sum-exp merge)."""
+    b, s, hq, d = q.shape
+    hkv, skv = k.shape[2], k.shape[1]
+    k = _repeat_kv(k, hq // hkv)
+    v = _repeat_kv(v, hq // hkv)
+    scale = softmax_scale if softmax_scale is not None else d**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+
+    mask = jnp.ones((s, skv), dtype=bool)
+    if causal:
+        mask = jnp.tril(mask)
+    mask = mask[None, None, :, :]
+    if segment_ids is not None:
+        kv_seg = segment_ids if kv_segment_ids is None else kv_segment_ids
+        seg_mask = segment_ids[:, None, :, None] == kv_seg[:, None, None, :]
+        mask = jnp.logical_and(mask, seg_mask)
+    logits = jnp.where(mask, logits, -jnp.inf)
+    m = jnp.max(logits, axis=-1)                     # (b, h, q); -inf if empty
+    empty = jnp.isneginf(m)
+    safe_m = jnp.where(empty, 0.0, m)
+    unnorm = jnp.exp(logits - safe_m[..., None])
+    unnorm = jnp.where(mask, unnorm, 0.0)
+    denom = jnp.sum(unnorm, axis=-1)                 # (b, h, q)
+    lse = jnp.where(empty, -jnp.inf, safe_m + jnp.log(jnp.maximum(denom, 1e-37)))
+    probs = unnorm / jnp.maximum(denom, 1e-37)[..., None]
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+    return out.astype(q.dtype), lse
+
+
 def flash_attention(
     q: jax.Array,
     k: jax.Array,

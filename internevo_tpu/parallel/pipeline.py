@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import PartitionSpec as P
 
-from ..core.context import PP, TP
+from ..core.context import EP, PP, TP
 from ..models.base import ModelConfig, _dense, _norm, split_qkv
 from ..ops.attention import flash_attention
 from ..ops.rotary import apply_rotary, rope_frequencies
@@ -72,11 +72,23 @@ def _psum_rep_bwd(_, g):
 _psum_replicated_tp.defvjp(_psum_rep_fwd, _psum_rep_bwd)
 
 
+def _pdrop(cfg: ModelConfig, h, rng, tag: int):
+    """Residual dropout inside the manual pipeline (reference SeedManager
+    streams, ``core/context/random.py``).  Key derivation mirrors
+    ``models.base.block_forward`` exactly — fold_in(layer_rng, tag) — so at
+    dp=1/tp=1 the pp>1 masks are BIT-IDENTICAL to the pp=1 path (pinned by
+    test_dropout_pp2_matches_pp1)."""
+    if rng is None or cfg.drop_rate == 0.0:
+        return h
+    r = jax.random.fold_in(rng, tag)
+    keep = jax.random.bernoulli(r, 1.0 - cfg.drop_rate, h.shape)
+    return jnp.where(keep, h / (1.0 - cfg.drop_rate), 0).astype(h.dtype)
 
 
 def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids,
-                  seq_parallel: bool = False):
-    """One pre-norm block with explicit TP collectives.
+                  seq_parallel: bool = False, rng=None, ep: int = 1):
+    """One pre-norm block with explicit TP collectives.  Returns
+    ``(out, aux)`` where aux is the MoE gate loss (0 for dense blocks).
 
     mtp (seq_parallel=False): activations replicated over tp inside the block;
     row-parallel matmuls end in psum (reference ``MegatronFusedDenseFunc``).
@@ -86,12 +98,17 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     reduce-scatter after the row matmuls (reference ``model/utils.py:258-345``).
     Residual/norm run on the local seq shard; the pipeline ring then carries
     1/tp of the activation bytes.
+
+    MoE blocks (``"moe" in layer``, mtp only — launch guard): the FFN is the
+    GShard layer with an explicit expert all-to-all over ``ep``
+    (reference pipelines MoE through both schedulers,
+    ``pipeline_scheduler.py:307-320`` accum_moe_loss).
     """
     # replicated params (norms, row-linear biases) receive rank-varying
     # cotangents in seq-parallel mode; the shard_map boundary psums cotangents
     # over unmentioned axes (probed; see _boundary_psum), which IS the Megatron
     # sequence-parallel layernorm/bias grad all-reduce — no extra hook needed.
-    residual = x
+    residual = _pdrop(cfg, x, rng, 0)
     if cfg.residual_in_fp32:
         residual = residual.astype(jnp.float32)
     h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
@@ -128,8 +145,12 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     if "bias" in layer["out_proj"]:
         attn_out = attn_out + layer["out_proj"]["bias"].astype(attn_out.dtype)
 
-    residual = (attn_out + residual).astype(residual.dtype)
+    residual = (_pdrop(cfg, attn_out, rng, 1) + residual).astype(residual.dtype)
     h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
+    out_dtype = jnp.float32 if cfg.residual_in_fp32 else cfg.dtype
+    if "moe" in layer:
+        mlp_out, l_aux = _pipeline_moe_ffn(cfg, tp, layer, h, rng, ep)
+        return (mlp_out + residual).astype(out_dtype), l_aux
     if seq_parallel:
         h = jax.lax.all_gather(h, TP, axis=1, tiled=True)
     w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
@@ -143,7 +164,49 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
         mlp_out = mlp_out + layer["w2"]["bias"].astype(mlp_out.dtype)
     # with residual_in_fp32 the fp32 stream persists across the stage's layers;
     # stage boundaries downcast for the p2p transfer (half the ICI bytes)
-    return (mlp_out + residual).astype(jnp.float32 if cfg.residual_in_fp32 else cfg.dtype)
+    return (mlp_out + residual).astype(out_dtype), jnp.zeros((), jnp.float32)
+
+
+def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int):
+    """MoE FFN inside the manual pipeline (mtp only — launch guard): gating on
+    the LOCAL batch shard (the reference's per-rank semantics), experts
+    sharded over ``ep`` with an explicit all-to-all pair, optional residual
+    dense branch (tp-parallel matmuls + psum) mixed by the learned coefficient
+    (reference ``moe/moe.py:66-99``).  Returns (out, l_aux)."""
+    from ..models.moe.gshard import moe_layer_apply
+
+    dropless = (cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock")
+                or not cfg.moe_drop_tokens)
+    if dropless:
+        # ep==1 inside pp (launch guard): experts fully local, pure compute
+        from ..models.moe.dropless import dropless_moe_apply
+
+        out, l_aux, _counts = dropless_moe_apply(
+            layer["moe"], h, top_k=cfg.top_k, rng=rng, train=True)
+    else:
+        out, l_aux, _counts = moe_layer_apply(
+            layer["moe"], h,
+            top_k=cfg.top_k,
+            capacity_factor=cfg.moe_capacity_factor,
+            min_capacity=cfg.moe_min_capacity,
+            drop_tokens=True,
+            use_rts=cfg.moe_use_rts,
+            noisy_gate_policy=cfg.moe_noisy_gate_policy,
+            rng=rng,
+            train=True,
+            manual_ep_axis=EP,
+            manual_ep_size=ep,
+        )
+    if cfg.num_shared_experts > 0:  # residual-MoE dense branch
+        w1o = _dense(h, layer["w1"]["kernel"])
+        w3o = _dense(h, layer["w3"]["kernel"])
+        part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
+        dense_out = _psum_tp(part) if tp > 1 else part
+        coef = jax.nn.softmax(
+            _dense(h, layer["moe"]["coefficient"]).astype(jnp.float32), axis=-1)
+        out = (out * coef[..., 0:1].astype(out.dtype)
+               + dense_out * coef[..., 1:].astype(out.dtype))
+    return out, l_aux
 
 
 def _gqa_group_qkv(cfg: ModelConfig, tp: int, wqkv: dict, h):
@@ -200,12 +263,89 @@ class _LocalCfg:
         return getattr(self._cfg, name)
 
 
-def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, segment_ids,
-                        seq_parallel: bool = False):
+def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
+               segment_ids_full, segment_ids_local, ring: bool, rng=None):
+    """One pre-norm block in isp (Ulysses) / rsp (ring) sequence parallelism
+    inside the pipeline: activations are sequence-sharded over ``tp``
+    end-to-end, weights are FULL at use (the caller gathers the wp-sharded
+    storage per micro — the reference ``ISPCommunicator`` just-in-time
+    all-gather, ``core/communication/isp.py:143-527``), and there is no
+    tensor-parallel matmul math at all.
+
+    isp: q/k/v are computed on the local seq chunk with full heads, then an
+    all-to-all reshards seq->heads before the kernel and heads->seq after
+    (reference ``DistributedAttention._SeqAllToAll``,
+    ``multi_head_attention.py:27-135``).
+
+    rsp: attention runs directly on the seq chunks with kv rotating around the
+    tp ring (``parallel/ring_attention.py``) — no head-count bound.
+    """
+    residual = _pdrop(cfg, x, rng, 0)
+    if cfg.residual_in_fp32:
+        residual = residual.astype(jnp.float32)
+    h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
+    B, S_loc, H = h.shape
+
+    qkv = _dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+    q, k, v = split_qkv(cfg, qkv)  # full head counts on the LOCAL seq chunk
+    cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
+    q = apply_rotary(q, cos, sin)
+    k = apply_rotary(k, cos, sin)
+    if ring:
+        from .ring_attention import ring_attention
+
+        ctx = ring_attention(q, k, v, segment_ids_local, axis_name=TP,
+                             softmax_scale=1.0 / math.sqrt(cfg.head_dim),
+                             max_segment_len=cfg.max_segment_len)
+    else:
+        # Ulysses all-to-all: (b, S/tp, Hq, D) -> (b, S, Hq/tp, D)
+        q = jax.lax.all_to_all(q, TP, split_axis=2, concat_axis=1, tiled=True)
+        k = jax.lax.all_to_all(k, TP, split_axis=2, concat_axis=1, tiled=True)
+        v = jax.lax.all_to_all(v, TP, split_axis=2, concat_axis=1, tiled=True)
+        ctx = flash_attention(q, k, v, segment_ids=segment_ids_full,
+                              softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
+                              max_segment_len=cfg.max_segment_len)
+        ctx = jax.lax.all_to_all(ctx, TP, split_axis=1, concat_axis=2, tiled=True)
+    ctx = ctx.reshape(B, S_loc, -1)
+    attn_out = _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
+
+    residual = (_pdrop(cfg, attn_out, rng, 1) + residual).astype(residual.dtype)
+    h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
+    w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
+    w3o = _dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
+    mlp_out = _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"], layer["w2"].get("bias"))
+    return ((mlp_out + residual).astype(jnp.float32 if cfg.residual_in_fp32 else cfg.dtype),
+            jnp.zeros((), jnp.float32))
+
+
+def _gather_by_specs(tree, specs, w_axes: tuple):
+    """All-gather each leaf over the weight-storage mesh axes at the dim its
+    in_spec shards — the isp just-in-time weight gather.  Placed INSIDE the
+    differentiated micro function so jax.vjp's transpose (psum_scatter) hands
+    back WP-SHARDED gradients and the grad accumulators stay shard-sized."""
+    if not w_axes:
+        return tree
+
+    def one(a, spec):
+        for d, part in enumerate(spec):
+            names = part if isinstance(part, tuple) else ((part,) if part else ())
+            if any(ax in names for ax in w_axes):
+                return jax.lax.all_gather(a, w_axes, axis=d, tiled=True)
+        return a
+
+    return jax.tree.map(one, tree, specs, is_leaf=lambda s: isinstance(s, P))
+
+
+def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer0=0):
     """Apply this stage's layer group with the `checkpoint` FRACTION honored
     per group (mirrors model_forward's split): the first round(L_local * f)
     local layers full-remat (flash residuals saved), the rest use the
-    everything-cheap-saveable policy."""
+    everything-cheap-saveable policy.
+
+    ``body(layer, h, rng_l) -> (h, aux)`` is the per-layer block function
+    (aux = MoE gate loss, 0 for dense); ``rng`` (optional) is folded with each
+    layer's GLOBAL index ``layer0 + i`` so dropout streams match the pp=1
+    path's per-layer folding.  Returns ``(out, aux_sum)``."""
     L_local = jax.tree.leaves(blocks_local)[0].shape[0]
     n_full = int(round(L_local * cfg.checkpoint))
     save_names = ["flash_out", "flash_lse"]
@@ -213,27 +353,39 @@ def _stage_blocks_apply(cfg: ModelConfig, tp: int, blocks_local, x, positions, s
         save_names += ["mlp_w1o", "mlp_w3o"]
 
     def make_body(policy):
-        body = jax.checkpoint(
-            lambda layer, h: _manual_block(cfg, tp, layer, h, positions, segment_ids, seq_parallel),
-            policy=policy, prevent_cse=False,
-        )
-        return lambda h, layer: (body(layer, h), None)
+        wrapped = jax.checkpoint(body, policy=policy, prevent_cse=False)
+        if rng is not None:
+            def sb(carry, xs):
+                layer, gidx = xs
+                h, aux = carry
+                h, a = wrapped(layer, h, jax.random.fold_in(rng, gidx))
+                return (h, aux + a), None
+        else:
+            def sb(carry, layer):
+                h, aux = carry
+                h, a = wrapped(layer, h, None)
+                return (h, aux + a), None
+        return sb
 
     full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
     light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
+    xs = blocks_local
+    if rng is not None:
+        xs = (blocks_local, layer0 + jnp.arange(L_local, dtype=jnp.int32))
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
+    carry = (x, jnp.zeros((), jnp.float32))
     if n_full >= L_local:
-        out, _ = jax.lax.scan(full, x, blocks_local)
+        (out, aux), _ = jax.lax.scan(full, carry, xs)
     elif n_full == 0:
-        out, _ = jax.lax.scan(light, x, blocks_local)
+        (out, aux), _ = jax.lax.scan(light, carry, xs)
     else:
-        head = jax.tree.map(lambda a: a[:n_full], blocks_local)
-        tail = jax.tree.map(lambda a: a[n_full:], blocks_local)
-        x, _ = jax.lax.scan(full, x, head)
-        out, _ = jax.lax.scan(light, x, tail)
-    return out.astype(cfg.dtype) if cfg.residual_in_fp32 else out
+        head = jax.tree.map(lambda a: a[:n_full], xs)
+        tail = jax.tree.map(lambda a: a[n_full:], xs)
+        carry, _ = jax.lax.scan(full, carry, head)
+        (out, aux), _ = jax.lax.scan(light, carry, tail)
+    return (out.astype(cfg.dtype) if cfg.residual_in_fp32 else out), aux
 
 
 def _manual_embed(cfg: ModelConfig, tp: int, embedding_local, input_ids):
@@ -297,17 +449,58 @@ def _manual_head_ce(cfg: ModelConfig, tp: int, other: dict, h, labels,
     return nll_sum, n_valid, n_correct
 
 
+def interleaved_layer_layout(num_layers: int, pp: int, num_chunks: int):
+    """(perm, inv) mapping the natural layer order to the interleaved-pp
+    STORAGE order (stage-major: stage s's C chunks back-to-back), or None when
+    the layout is the identity (num_chunks <= 1 or pp <= 1).
+
+    Storing block params in this order at init removes the per-step cross-stage
+    weight resharding the ``jnp.take`` in ``run`` used to pay (the reference
+    interleaved scheduler holds chunk-local weights permanently,
+    ``pipeline_scheduler.py:711+``); checkpoints canonicalize back to natural
+    order on save/load (``checkpoint_manager``)."""
+    if num_chunks <= 1 or pp <= 1:
+        return None
+    Lg = num_layers // (num_chunks * pp)
+    group_order = [c * pp + s for s in range(pp) for c in range(num_chunks)]
+    perm = np.asarray([v * Lg + i for v in group_order for i in range(Lg)])
+    return perm, np.argsort(perm)
+
+
+def permute_layers(blocks, idx):
+    """Apply a layer-dim permutation to every leaf of a stacked block tree."""
+    return jax.tree.map(lambda a: jnp.take(a, jnp.asarray(idx), axis=0), blocks)
+
+
+def active_layer_layout():
+    """Layout for the CURRENT gpc config; None when storage is natural order."""
+    from ..core.context import gpc
+
+    if getattr(gpc, "config", None) is None or gpc.mesh is None:
+        return None
+    C = int(gpc.config.model.get("num_chunks", 1) or 1)
+    return interleaved_layer_layout(int(gpc.config.model.num_layers),
+                                    gpc.sizes.pp, C)
+
+
 def pipeline_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
-                     num_chunks: int = 1, tp_mode: str = "mtp"):
-    """Returns ``loss_fn(params, batch) -> (loss, (loss, n_tokens, n_correct))``.
+                     num_chunks: int = 1, tp_mode: str = "mtp",
+                     moe_loss_coeff: float = 0.01, pre_permuted: bool = False):
+    """Returns ``loss_fn(params, batch, rng) -> (loss, (loss, n_tokens,
+    n_correct, moe_loss))``.
 
     One true-1F1B implementation covers both schedules: ``num_chunks == 1``
     is the reference ``PipelineScheduler`` (``pipeline_scheduler.py:111-708``),
     ``num_chunks > 1`` the interleaved ``InterleavedPipelineScheduler``
     (:711-1430; requires M % pp == 0, :743).  The bubble shrinks from
     (pp-1)/(M+pp-1) to (pp-1)/(M*C+pp-1); live state stays O(C*pp).
+
+    MoE blocks accumulate their gate aux loss through the schedule and into
+    the total loss (reference ``accum_moe_loss``,
+    ``pipeline_scheduler.py:307-320,471+``).
     """
-    return _1f1b_loss_fn(cfg, mesh, pp, label_smoothing, tp_mode, num_chunks)
+    return _1f1b_loss_fn(cfg, mesh, pp, label_smoothing, tp_mode, num_chunks,
+                         moe_loss_coeff, pre_permuted)
 
 
 def _block_pspecs(blocks, gqa_replicated: bool = False) -> dict:
@@ -328,14 +521,78 @@ def _block_pspecs(blocks, gqa_replicated: bool = False) -> dict:
     bs["out_proj"] = {"kernel": P(PP, TP, None)}
     if "bias" in blocks["out_proj"]:
         bs["out_proj"]["bias"] = P(PP)
-    bs["w1"] = {"kernel": P(PP, None, TP)}
-    bs["w3"] = {"kernel": P(PP, None, TP)}
-    bs["w2"] = {"kernel": P(PP, TP, None)}
+    if "w1" in blocks:  # pure-MoE blocks carry no dense FFN (modeling_moe.py)
+        bs["w1"] = {"kernel": P(PP, None, TP)}
+        bs["w3"] = {"kernel": P(PP, None, TP)}
+        bs["w2"] = {"kernel": P(PP, TP, None)}
+        if "bias" in blocks["w1"]:
+            bs["w1"]["bias"] = P(PP, TP)
+            bs["w3"]["bias"] = P(PP, TP)
+            bs["w2"]["bias"] = P(PP)
+    if "moe" in blocks:
+        # experts shard over the dedicated ep axis (reference
+        # Initializer_Expert_Data :474); gate/coefficient replicate
+        moe = {"gate": P(PP),
+               "experts": {"w1": P(PP, EP), "w3": P(PP, EP), "w2": P(PP, EP)}}
+        if "coefficient" in blocks["moe"]:
+            moe["coefficient"] = P(PP)
+        bs["moe"] = moe
+    return bs
+
+
+def _isp_block_pspecs(blocks, w_axes: tuple) -> dict:
+    """Per-stage block specs for isp/rsp: layer dim over pp; weight STORAGE
+    sharded over the weight-group axes ``w_axes`` (the largest weight dim,
+    mirroring sharding.py's isp PARAM_RULES); no tensor-parallel math dims."""
+    W = w_axes if len(w_axes) > 1 else (w_axes[0] if w_axes else None)
+    bs = {"norm1": P(PP), "norm2": P(PP)}
+    if "norm1_bias" in blocks:
+        bs["norm1_bias"] = P(PP)
+        bs["norm2_bias"] = P(PP)
+    bs["wqkv"] = {"kernel": P(PP, None, W)}
+    if "bias" in blocks["wqkv"]:
+        bs["wqkv"]["bias"] = P(PP, W)
+    bs["out_proj"] = {"kernel": P(PP, W, None)}
+    if "bias" in blocks["out_proj"]:
+        bs["out_proj"]["bias"] = P(PP)
+    bs["w1"] = {"kernel": P(PP, None, W)}
+    bs["w3"] = {"kernel": P(PP, None, W)}
+    bs["w2"] = {"kernel": P(PP, W, None)}
     if "bias" in blocks["w1"]:
-        bs["w1"]["bias"] = P(PP, TP)
-        bs["w3"]["bias"] = P(PP, TP)
+        bs["w1"]["bias"] = P(PP, W)
+        bs["w3"]["bias"] = P(PP, W)
         bs["w2"]["bias"] = P(PP)
     return bs
+
+
+def _local_head_ce(cfg: ModelConfig, other: dict, h, labels, label_smoothing: float):
+    """Full-vocab CE on a LOCAL sequence chunk (isp/rsp head: the head weight
+    is gathered full, the sequence stays sharded — CE is embarrassingly
+    parallel over tp; the per-chunk nll sums psum at the stage boundary)."""
+    h = _norm(cfg, h, other["norm"], other.get("norm_bias"))
+    w = other["head"]
+    if cfg.embed_grad_scale != 1:
+        w = cfg.embed_grad_scale * w + (1 - cfg.embed_grad_scale) * jax.lax.stop_gradient(w)
+    if cfg.norm_head:
+        norm = jnp.linalg.norm(w.astype(jnp.float32), axis=0, keepdims=True)
+        w = (w / jax.lax.stop_gradient(norm + 1e-7)).astype(w.dtype)
+    logits = jnp.dot(h, w.astype(h.dtype)).astype(jnp.float32)
+    V = logits.shape[-1]
+    flat = logits.reshape(-1, V)
+    lab = labels.reshape(-1)
+    valid = lab != -100
+    gmax = jax.lax.stop_gradient(jnp.max(flat, axis=-1))
+    lse = jnp.log(jnp.sum(jnp.exp(flat - gmax[:, None]), axis=-1)) + gmax
+    safe = jnp.clip(lab, 0, V - 1)
+    picked = jnp.take_along_axis(flat, safe[:, None], axis=-1)[:, 0]
+    nll = jnp.where(valid, lse - picked, 0.0)
+    if label_smoothing > 0.0:
+        smooth = -(jnp.sum(flat, axis=-1) - V * lse) / V
+        nll = jnp.where(valid, (1 - label_smoothing) * nll + label_smoothing * smooth, 0.0)
+    n_valid = jnp.sum(valid)
+    nll_sum = jnp.sum(nll)
+    n_correct = jnp.sum((jnp.argmax(flat, axis=-1) == lab) & valid)
+    return nll_sum, n_valid, n_correct
 
 
 
@@ -364,7 +621,8 @@ def _boundary_psum(tree, specs, axes: tuple):
 
 
 def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
-                  tp_mode: str = "mtp", num_chunks: int = 1):
+                  tp_mode: str = "mtp", num_chunks: int = 1,
+                  moe_loss_coeff: float = 0.01, pre_permuted: bool = False):
     """True 1F1B pipeline, plain AND interleaved (reference
     ``PipelineScheduler`` :111-708 / ``InterleavedPipelineScheduler``
     :711-1430), TPU-native formulation:
@@ -396,23 +654,66 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
     C = num_chunks
     ALL_AXES = (PP, TP, DP, EP, ZERO)
     BATCH_AXES = (DP, EP, ZERO)
-    gqa_rep = cfg.num_kv_attention_heads % tp != 0
+    isp_like = tp_mode in ("isp", "rsp") and tp > 1
+    ring = tp_mode == "rsp"
+    if isp_like:
+        from .sharding import get_rules
+
+        # weight STORAGE axes (parallel.weight.size realized on the mesh);
+        # weights are gathered full at use inside each micro's vjp
+        w_axes = get_rules().weight_storage_axes()
+        if not ring:
+            assert (cfg.num_attention_heads % tp == 0
+                    and cfg.num_kv_attention_heads % tp == 0), (
+                "isp (Ulysses) needs head counts divisible by tp "
+                f"({cfg.num_attention_heads}/{cfg.num_kv_attention_heads} vs tp={tp}); "
+                "use rsp (ring) for head-count-free sequence scaling")
+    else:
+        w_axes = ()
+    gqa_rep = (not isp_like) and cfg.num_kv_attention_heads % tp != 0
     if gqa_rep:
         assert tp % cfg.num_kv_attention_heads == 0 and cfg.num_attention_heads % tp == 0, \
             (cfg.num_attention_heads, cfg.num_kv_attention_heads, tp)
     assert cfg.num_layers % (pp * C) == 0, (cfg.num_layers, pp, C)
     seq_parallel = tp_mode in ("msp", "fsp") and tp > 1
+    seq_sharded = seq_parallel or isp_like  # stage-boundary acts are (b, S/tp, H)
+    Lg_all = cfg.num_layers // (C * pp)     # layers per (stage, chunk) unit
+    ep_size = mesh.shape.get(EP, 1)
+    is_moe = getattr(cfg, "num_experts", 1) > 1
+    if is_moe:
+        assert not (isp_like or seq_parallel), (
+            "MoE inside the pipeline supports tensor mode mtp only "
+            "(launch.py guards this)")
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
-                 input_ids, positions, segment_ids, labels):
+                 input_ids, positions, segment_ids, labels, rng):
         pp_idx = jax.lax.axis_index(PP)
         tp_idx = jax.lax.axis_index(TP)
         M, b, S = input_ids.shape  # b = LOCAL batch (dp/zero are manual here)
         H = cfg.hidden_size
-        S_loc = S // tp if seq_parallel else S
+        S_loc = S // tp if seq_sharded else S
         consts = {"embedding": embedding, "norm": norm, "head": head}
         if norm_bias is not None:
             consts["norm_bias"] = norm_bias
+        if isp_like:
+            bspecs = _isp_block_pspecs(blocks, w_axes)
+
+        # per-(dp,ep,zero)-shard + per-seq-chunk dropout decorrelation; at
+        # dp=1/tp=1 no folds happen so pp>1 masks == pp=1 masks bit-exactly
+        n_shards = mesh.shape.get(DP, 1) * mesh.shape.get(EP, 1) * mesh.shape.get(ZERO, 1)
+
+        def micro_rng(m):
+            if rng is None:
+                return None
+            r = jax.random.fold_in(rng, m)
+            if n_shards > 1:
+                shard_idx = ((jax.lax.axis_index(DP) * mesh.shape.get(EP, 1)
+                              + jax.lax.axis_index(EP)) * mesh.shape.get(ZERO, 1)
+                             + jax.lax.axis_index(ZERO))
+                r = jax.random.fold_in(r, shard_idx)
+            if seq_sharded:
+                r = jax.random.fold_in(r, 10_000 + tp_idx)
+            return r
 
         # per-micro GLOBAL valid-token counts: the CE normalizer (precomputed
         # so backward seeds need no collective inside the loop)
@@ -436,20 +737,74 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 local = blocks_
             is_entry = jnp.logical_and(pp_idx == 0, c == 0)
             is_head = jnp.logical_and(pp_idx == pp - 1, c == C - 1)
+            rng_m = micro_rng(m)
+            layer0 = (c * pp + pp_idx) * Lg_all  # global idx of first local layer
+
+            if isp_like:
+                # isp just-in-time weight gather: INSIDE the vjp, so grads
+                # come back wp-sharded through the all_gather transpose
+                local = _gather_by_specs(local, bspecs, w_axes)
+                pos_loc = jax.lax.dynamic_slice_in_dim(pos, tp_idx * S_loc, S_loc, axis=1)
+                seg_loc = jax.lax.dynamic_slice_in_dim(seg, tp_idx * S_loc, S_loc, axis=1)
+
+                def body(layer, h, rng_l):
+                    return _isp_block(cfg, tp, layer, h, pos_loc, seg, seg_loc, ring, rng_l)
+            else:
+                def body(layer, h, rng_l):
+                    return _manual_block(cfg, tp, layer, h, pos, seg, seq_parallel, rng_l,
+                                         ep=ep_size)
 
             def embed():
                 ids = jax.lax.dynamic_index_in_dim(input_ids, m, 0, keepdims=False)
+                if isp_like:
+                    # gather the wp-sharded table first, then look up the LOCAL
+                    # seq chunk — the same just-in-time weight gather as every
+                    # other wp param.  (Gathering per-token lookups instead
+                    # would interleave DIFFERENT ranks' token chunks across
+                    # hidden slices: each rank's ids differ under isp.)
+                    ids_loc = jax.lax.dynamic_slice_in_dim(ids, tp_idx * S_loc, S_loc, axis=1)
+                    emb = consts_["embedding"]
+                    if w_axes:
+                        emb = jax.lax.all_gather(emb, w_axes, axis=1, tiled=True)
+                    e = jnp.take(emb, ids_loc, axis=0).astype(cfg.dtype)
+                    if cfg.embed_grad_scale != 1:
+                        e = (cfg.embed_grad_scale * e
+                             + (1 - cfg.embed_grad_scale) * jax.lax.stop_gradient(e))
+                    return e
                 e = _manual_embed(cfg, tp, consts_["embedding"], ids)
                 if seq_parallel:
                     e = jax.lax.dynamic_slice_in_dim(e, tp_idx * S_loc, S_loc, axis=1)
                 return e
 
             x_eff = jax.lax.cond(is_entry, embed, lambda: x)
-            h = _stage_blocks_apply(cfg, tp, local, x_eff, pos, seg, seq_parallel)
+            h, moe_aux = _stage_blocks_apply(cfg, body, local, x_eff, rng=rng_m, layer0=layer0)
 
             def head_branch():
                 y = h
                 lab = jax.lax.dynamic_index_in_dim(labels, m, 0, keepdims=False)
+                if isp_like:
+                    # seq stays sharded: each rank runs full-vocab CE on its
+                    # chunk with the gathered head; chunk nll sums psum with
+                    # the loss at the boundary
+                    lab = jax.lax.dynamic_slice_in_dim(lab, tp_idx * S_loc, S_loc, axis=1)
+                    head_w = consts_["head"]
+                    if w_axes:
+                        head_w = jax.lax.all_gather(head_w, w_axes, axis=1, tiled=True)
+                    if cfg.norm_type == "rmsnorm":
+                        from ..ops.fused_ce import fused_norm_head_ce, gpc_loss_knobs
+
+                        nll_sum, _nv, n_cor = fused_norm_head_ce(
+                            y, consts_["norm"], head_w, lab,
+                            eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
+                            norm_head=cfg.norm_head, label_smoothing=label_smoothing,
+                            **gpc_loss_knobs(),
+                        )
+                        return nll_sum, n_cor
+                    other = {"norm": consts_["norm"], "head": head_w}
+                    if "norm_bias" in consts_:
+                        other["norm_bias"] = consts_["norm_bias"]
+                    nll_sum, _nv, n_cor = _local_head_ce(cfg, other, y, lab, label_smoothing)
+                    return nll_sum, n_cor
                 if seq_parallel:
                     y = jax.lax.all_gather(y, TP, axis=1, tiled=True)
                 if tp == 1 and cfg.norm_type == "rmsnorm":
@@ -472,7 +827,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 return jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32)
 
             nll_sum, n_cor = jax.lax.cond(is_head, head_branch, no_head)
-            return (h, nll_sum), n_cor
+            return (h, nll_sum, moe_aux), n_cor
 
         U = M * C                     # total work units
         T0 = C * pp - 1               # first backward tick
@@ -492,8 +847,14 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             "consts": jax.tree.map(lambda a: jnp.zeros(a.shape, jnp.float32), consts),
         }
 
+        # d(total)/d(moe_aux per unit): coeff, averaged over batch shards (the
+        # reference all-reduce-AVERAGES dp grads; /M applied outside)
+        n_batch_shards = (mesh.shape.get(DP, 1) * mesh.shape.get(EP, 1)
+                         * mesh.shape.get(ZERO, 1))
+        ct_moe_const = moe_loss_coeff / n_batch_shards
+
         def tick(t, carry):
-            y_send, dx_send, x_buf, grads, loss_sum, cor_sum = carry
+            y_send, dx_send, x_buf, grads, loss_sum, cor_sum, moe_sum = carry
             recv_x = jax.lax.ppermute(y_send, PP, perm_fwd)
             recv_dy = jax.lax.ppermute(dx_send, PP, perm_bwd)
 
@@ -506,10 +867,21 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 jnp.logical_not(is_last_virtual_f))
 
             def do_fwd():
-                (h, _nll), _ = micro_fn(blocks, consts, recv_x, m_f, c_f)
+                (h, _nll, _moe), _ = micro_fn(blocks, consts, recv_x, m_f, c_f)
                 return h
 
-            y_new = jax.lax.cond(fwd_active, do_fwd, lambda: jnp.zeros_like(y_send))
+            if ring:
+                # rsp: the ring's ppermutes lower to CollectivePermute, whose
+                # rendezvous is ALL-device (unlike the grouped all_to_all /
+                # psum the isp/msp paths use) — inside a cond whose predicate
+                # diverges across pp stages, half the mesh waits at the ring
+                # permute and half at the next collective: deadlock (XLA:CPU
+                # aborts; TPU would hang).  Execute the stage body every tick
+                # and mask the result — the dummy compute rides the bubble
+                # ticks the lockstep schedule already spends idle.
+                y_new = jnp.where(fwd_active, do_fwd(), jnp.zeros_like(y_send))
+            else:
+                y_new = jax.lax.cond(fwd_active, do_fwd, lambda: jnp.zeros_like(y_send))
             x_buf = jax.lax.cond(
                 fwd_active,
                 lambda: jax.lax.dynamic_update_index_in_dim(
@@ -528,111 +900,159 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             u_unit = g_b * C * pp + c_b * pp + r_b  # the unit's forward index
             is_last_virtual_b = jnp.logical_and(pp_idx == pp - 1, c_b == C - 1)
 
-            def do_bwd(grads):
+            def do_bwd(grads, mask=None):
                 x_in = jnp.where(
                     is_last_virtual_b, recv_x,
                     jax.lax.dynamic_index_in_dim(x_buf, u_unit % B, 0, keepdims=False))
-                (_, nll_sum), vjp_fn, n_cor = jax.vjp(
+                (_, nll_sum, moe_aux), vjp_fn, n_cor = jax.vjp(
                     lambda bl, co, x: micro_fn(bl, co, x, m_b, c_b),
                     blocks, consts, x_in, has_aux=True)
                 ct_y = jnp.where(is_last_virtual_b, jnp.zeros_like(dx_send), recv_dy)
                 # d(total_loss)/d(nll_sum_m) = 1 / n_valid_global[m] (div by M
                 # outside); zero off the head unit
                 ct_nll = jnp.where(is_last_virtual_b, 1.0 / nvg_f[m_b], 0.0)
-                d_blocks, d_consts, dx = vjp_fn((ct_y, ct_nll.astype(nll_sum.dtype)))
+                ct_moe = jnp.asarray(ct_moe_const, moe_aux.dtype)
+                if mask is not None:
+                    # inactive tick: zero the cotangent seeds — vjp is linear
+                    # in the cotangents, so the accumulated grads gain exactly 0
+                    ct_y = jnp.where(mask, ct_y, 0)
+                    ct_nll = jnp.where(mask, ct_nll, 0.0)
+                    ct_moe = jnp.where(mask, ct_moe, 0.0)
+                d_blocks, d_consts, dx = vjp_fn(
+                    (ct_y, ct_nll.astype(nll_sum.dtype), ct_moe))
                 grads = {
                     "blocks": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
                                            grads["blocks"], d_blocks),
                     "consts": jax.tree.map(lambda a, g: a + g.astype(jnp.float32),
                                            grads["consts"], d_consts),
                 }
-                return dx, grads, nll_sum / nvg_f[m_b], n_cor
+                return dx, grads, nll_sum / nvg_f[m_b], n_cor, moe_aux
 
             def skip_bwd(grads):
                 return (jnp.zeros_like(dx_send), grads, jnp.zeros((), jnp.float32),
-                        jnp.zeros((), jnp.int32))
+                        jnp.zeros((), jnp.int32), jnp.zeros((), jnp.float32))
 
-            dx_new, grads, loss_i, cor_i = jax.lax.cond(bwd_active, do_bwd, skip_bwd, grads)
-            return (y_new, dx_new, x_buf, grads, loss_sum + loss_i, cor_sum + cor_i)
+            if ring:
+                # unconditional vjp for the same reason as the forward substep
+                dx_new, grads, loss_i, cor_i, moe_i = do_bwd(grads, mask=bwd_active)
+                dx_new = jnp.where(bwd_active, dx_new, 0)
+                loss_i = jnp.where(bwd_active, loss_i, 0.0)
+                cor_i = jnp.where(bwd_active, cor_i, 0)
+                moe_i = jnp.where(bwd_active, moe_i, 0.0)
+            else:
+                dx_new, grads, loss_i, cor_i, moe_i = jax.lax.cond(
+                    bwd_active, do_bwd, skip_bwd, grads)
+            return (y_new, dx_new, x_buf, grads, loss_sum + loss_i, cor_sum + cor_i,
+                    moe_sum + moe_i)
 
         act = jnp.zeros((b, S_loc, H), cfg.dtype)
         init = (act, act, jnp.zeros((B, b, S_loc, H), cfg.dtype), zero_grads,
-                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32))
-        _, _, _, grads, loss_sum, cor_sum = jax.lax.fori_loop(0, T, tick, init)
+                jnp.zeros((), jnp.float32), jnp.zeros((), jnp.int32),
+                jnp.zeros((), jnp.float32))
+        _, _, _, grads, loss_sum, cor_sum, moe_sum = jax.lax.fori_loop(0, T, tick, init)
 
         # grads: cast to param dtype (the reference reduces bf16 buffers), then
         # psum over every axis the in_spec replicates on — dp/zero (the data-
-        # parallel grad all-reduce) and pp/tp for shared params
-        bs = _block_pspecs(blocks, gqa_rep)
-        cs = {"embedding": P(None, TP), "norm": P(), "head": P(None, TP)}
+        # parallel grad all-reduce) and pp/tp for shared params.  isp grads
+        # already arrived wp-sharded through the gather transpose.
+        bs = bspecs if isp_like else _block_pspecs(blocks, gqa_rep)
+        _w = w_axes if len(w_axes) > 1 else (w_axes[0] if w_axes else None)
+        ch = _w if isp_like else TP
+        cs = {"embedding": P(None, ch), "norm": P(), "head": P(None, ch)}
         if norm_bias is not None:
             cs["norm_bias"] = P()
         d_blocks = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["blocks"], blocks)
         d_consts = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["consts"], consts)
-        d_blocks = _boundary_psum(d_blocks, bs, ALL_AXES)
+        if "moe" in d_blocks:
+            # the moe subtree is REPLICATED-compute over tp (mtp activations +
+            # identical rng): every tp rank already holds the full cotangent —
+            # summing over tp would scale by tp (reference: expert/gate grads
+            # reduce over dp only, never tp).  Exclude TP from its psum.
+            moe_g = {k: d_blocks[k] for k in ("moe",)}
+            rest = {k: v for k, v in d_blocks.items() if k != "moe"}
+            rest = _boundary_psum(rest, {k: v for k, v in bs.items() if k != "moe"},
+                                  ALL_AXES)
+            moe_axes = tuple(a for a in ALL_AXES if a != TP)
+            moe_g = _boundary_psum(moe_g, {"moe": bs["moe"]}, moe_axes)
+            d_blocks = {**rest, **moe_g}
+        else:
+            d_blocks = _boundary_psum(d_blocks, bs, ALL_AXES)
         d_consts = _boundary_psum(d_consts, cs, ALL_AXES)
 
         # loss/acc: only the last stage holds nonzero sums; reduce over pp and
-        # the batch axes (nll and n_cor are local batch-shard sums)
+        # the batch axes (nll and n_cor are local batch-shard sums); isp/rsp
+        # chunks the sequence over tp, so tp joins the reduction
+        loss_axes = (PP,) + BATCH_AXES + ((TP,) if isp_like else ())
         is_last = pp_idx == pp - 1
-        loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), (PP,) + BATCH_AXES)
-        cor_sum = jax.lax.psum(jnp.where(is_last, cor_sum, 0), (PP,) + BATCH_AXES)
+        loss_sum = jax.lax.psum(jnp.where(is_last, loss_sum, 0.0), loss_axes)
+        cor_sum = jax.lax.psum(jnp.where(is_last, cor_sum, 0), loss_axes)
+        # moe aux accrues on EVERY stage; mean over batch shards (ref dp-avg)
+        moe_total = (jax.lax.psum(moe_sum, (PP,) + BATCH_AXES) / n_batch_shards
+                     if is_moe else jnp.zeros((), jnp.float32))
         tok_sum = jnp.sum(nvg)
         dnb = d_consts.get("norm_bias", jnp.zeros((), jnp.float32))
-        return (loss_sum, tok_sum, cor_sum, d_blocks, d_consts["embedding"],
+        return (loss_sum, tok_sum, cor_sum, moe_total, d_blocks, d_consts["embedding"],
                 d_consts["norm"], d_consts["head"], dnb)
 
     # natural layer order assigns virtual group v = c*pp + s; shard_map slices
-    # the layer dim contiguously per stage, so permute groups into (stage,
-    # chunk) order: stage s's shard holds its C chunks back-to-back (reference
-    # interleaved chunk mapping :925-944).  The permutation and its inverse
-    # come from the SAME index array (computed once here).
-    # NB: the take/un-take pair runs inside every train step and reshards
-    # (C-1)/C of the block weights across stages; storing the params in
-    # pipeline order at init would save that traffic, at the cost of a
-    # checkpoint-layout canonicalization on save/load — revisit if interleaved
-    # pp becomes the production topology.
-    if C > 1:
-        _Lg_all = cfg.num_layers // (C * pp)
-        _group_order = [c * pp + s for s in range(pp) for c in range(C)]
-        _layer_perm = np.asarray(
-            [v * _Lg_all + i for v in _group_order for i in range(_Lg_all)])
-        _layer_perm_inv = np.argsort(_layer_perm)
+    # the layer dim contiguously per stage, so the params must arrive in
+    # (stage, chunk) order: stage s's shard holds its C chunks back-to-back
+    # (reference interleaved chunk mapping :925-944).  The production path
+    # (initialize_model) stores params in this order permanently and passes
+    # ``pre_permuted=True`` — no per-step cross-stage weight resharding
+    # (reference holds chunk-local weights, ``pipeline_scheduler.py:711+``);
+    # checkpoints canonicalize on save/load.  ``pre_permuted=False`` keeps the
+    # per-call take/un-take for callers holding natural-order params.
+    _permute_here = C > 1 and not pre_permuted
+    if _permute_here:
+        _layer_perm, _layer_perm_inv = interleaved_layer_layout(cfg.num_layers, pp, C)
 
-    def run(params, batch):
+    def run(params, batch, rng):
         blocks = params["blocks"]
-        if C > 1:
-            blocks = jax.tree.map(
-                lambda a: jnp.take(a, jnp.asarray(_layer_perm), axis=0), blocks)
-        bs = _block_pspecs(blocks, gqa_rep)
+        if _permute_here:
+            blocks = permute_layers(blocks, _layer_perm)
+        if isp_like:
+            bs = _isp_block_pspecs(blocks, w_axes)
+            _w = w_axes if len(w_axes) > 1 else (w_axes[0] if w_axes else None)
+            emb_spec = P(None, _w)
+        else:
+            bs = _block_pspecs(blocks, gqa_rep)
+            emb_spec = P(None, TP)
         norm_bias = params.get("norm_bias")
         nb_spec = P()
         batch_spec = P(None, BATCH_AXES)
         M = batch["input_ids"].shape[0]
         if C > 1:
             assert M % pp == 0, (M, pp, "interleaved schedule needs M % pp == 0 (ref :743)")
+        args = [blocks, params["embedding"]["weight"], params["norm"],
+                params["head"]["kernel"], norm_bias,
+                batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"]]
+        in_specs = [bs, emb_spec, P(), emb_spec, nb_spec,
+                    batch_spec, batch_spec, batch_spec, batch_spec]
+        if rng is not None:
+            fn = stage_fn
+            args.append(rng)
+            in_specs.append(P())
+        else:
+            fn = lambda *a: stage_fn(*a, None)  # noqa: E731
         sm = jax.shard_map(
-            stage_fn,
+            fn,
             mesh=mesh,
-            in_specs=(bs, P(None, TP), P(), P(None, TP), nb_spec,
-                      batch_spec, batch_spec, batch_spec, batch_spec),
-            out_specs=(P(), P(), P(), bs, P(None, TP), P(), P(None, TP), nb_spec),
+            in_specs=tuple(in_specs),
+            out_specs=(P(), P(), P(), P(), bs, emb_spec, P(), emb_spec, nb_spec),
             axis_names=set(ALL_AXES),
             check_vma=False,
         )
         from .sharding import constraints_disabled
 
         with constraints_disabled():
-            (loss_sum, n_tok, n_cor, d_blocks, d_emb, d_norm, d_head, d_nb) = sm(
-                blocks, params["embedding"]["weight"], params["norm"],
-                params["head"]["kernel"], norm_bias,
-                batch["input_ids"], batch["indexes"], batch["segment_ids"], batch["labels"],
-            )
-        if C > 1:
+            (loss_sum, n_tok, n_cor, moe_total, d_blocks,
+             d_emb, d_norm, d_head, d_nb) = sm(*args)
+        if _permute_here:
             # un-permute block grads back to the natural layer order
-            d_blocks = jax.tree.map(
-                lambda g: jnp.take(g, jnp.asarray(_layer_perm_inv), axis=0), d_blocks)
-        loss = loss_sum / M
+            d_blocks = permute_layers(d_blocks, _layer_perm_inv)
+        moe_loss = moe_total / M
+        loss = loss_sum / M + moe_loss_coeff * moe_loss
         grads = {
             "blocks": jax.tree.map(lambda g: g / M, d_blocks),
             "embedding": {"weight": d_emb / M},
@@ -641,26 +1061,33 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         }
         if norm_bias is not None:
             grads["norm_bias"] = d_nb / M
-        return loss, (n_tok, n_cor), grads
+        return loss, (loss_sum / M, n_tok, n_cor, moe_loss), grads
 
     @jax.custom_vjp
-    def loss_fn(params, batch):
-        loss, (n_tok, n_cor), _ = run(params, batch)
-        return loss, (loss, n_tok, n_cor)
+    def _loss3(params, batch, rng):
+        loss, aux, _ = run(params, batch, rng)
+        return loss, aux
 
-    def loss_fwd(params, batch):
-        loss, (n_tok, n_cor), grads = run(params, batch)
-        return (loss, (loss, n_tok, n_cor)), (grads, batch)
+    def loss_fwd(params, batch, rng):
+        loss, aux, grads = run(params, batch, rng)
+        return (loss, aux), (grads, batch, rng)
 
     def loss_bwd(res, ct):
-        grads, batch = res
-        ct_loss = ct[0] + ct[1][0]  # loss is returned twice (primary + aux)
+        grads, batch, rng = res
+        ct_loss = ct[0] + ct[1][0]  # ce loss is returned twice (primary + aux)
         d_params = jax.tree.map(lambda g: g * ct_loss.astype(g.dtype), grads)
-        d_batch = jax.tree.map(
-            lambda x: np.zeros(x.shape, jax.dtypes.float0)
-            if jnp.issubdtype(x.dtype, jnp.integer) else jnp.zeros_like(x),
-            batch)
-        return d_params, d_batch
 
-    loss_fn.defvjp(loss_fwd, loss_bwd)
+        def zero_ct(x):
+            return (np.zeros(x.shape, jax.dtypes.float0)
+                    if jnp.issubdtype(x.dtype, jnp.integer) else jnp.zeros_like(x))
+
+        d_batch = jax.tree.map(zero_ct, batch)
+        d_rng = jax.tree.map(zero_ct, rng)
+        return d_params, d_batch, d_rng
+
+    _loss3.defvjp(loss_fwd, loss_bwd)
+
+    def loss_fn(params, batch, rng=None):
+        return _loss3(params, batch, rng)
+
     return loss_fn

@@ -36,6 +36,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from ..ops.attention import attention_reference_with_lse, use_pallas
 from ..ops.pallas.splash_attention import splash_attention_with_lse
 
 NEG_INF = -jnp.inf
@@ -76,6 +77,12 @@ def ring_attention(
     B, S_loc, Hq, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D**-0.5
     use_segs = segment_ids is not None
+    # interpret=None + pallas disabled (CPU tests) runs the jnp oracle: the
+    # interpret-mode kernel nested in the pipeline's cond/fori_loop/vjp control
+    # flow crashes XLA:CPU, and the O(S_loc^2) dense chunk math is what tests
+    # want anyway.  An EXPLICIT interpret flag still forces the kernel (the
+    # ring kernel tests exercise interpret mode under plain shard_map).
+    pallas = use_pallas() if interpret is None else True
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -84,12 +91,21 @@ def ring_attention(
             # the resident chunk (src == my): kv ids ARE the local ids, so pass
             # the same array — the splash segment windows then engage and
             # masked blocks cost zero grid steps
+            if not pallas:
+                return attention_reference_with_lse(
+                    q, k_r, v_r, segment_ids=segment_ids,
+                    kv_segment_ids=segment_ids, softmax_scale=scale, causal=True)
             return splash_attention_with_lse(
                 q, k_r, v_r, segment_ids=segment_ids,
                 kv_segment_ids=segment_ids, softmax_scale=scale, causal=True,
                 max_segment_len=max_segment_len, interpret=interpret)
 
         def full_chunk():
+            if not pallas:
+                return attention_reference_with_lse(
+                    q, k_r, v_r, segment_ids=segment_ids,
+                    kv_segment_ids=seg_r if use_segs else None,
+                    softmax_scale=scale, causal=False)
             return splash_attention_with_lse(
                 q, k_r, v_r, segment_ids=segment_ids,
                 kv_segment_ids=seg_r if use_segs else None, softmax_scale=scale,

@@ -20,6 +20,7 @@ from ..core.engine import Engine
 from ..core.scheduler.no_pipeline import make_eval_step, make_train_step
 from ..core.trainer import Trainer, TrainState
 from ..models.base import ModelDef
+from ..parallel.pipeline import active_layer_layout, permute_layers
 from ..parallel.sharding import get_rules
 from ..solver.lr_scheduler import Beta2Scheduler, build_lr_scheduler
 from ..solver.optimizer import AdamWConfig, GradScalerConfig, init_optimizer_state
@@ -68,6 +69,17 @@ def initialize_model() -> tuple[ModelDef, Any]:
         shardings = jax.tree.map(lambda s: NamedSharding(rules.mesh, s), specs,
                                  is_leaf=lambda x: isinstance(x, P))
         params = jax.jit(model.init, out_shardings=shardings)(rng)
+        layout = active_layer_layout()
+        if layout is not None:
+            # interleaved pp: store block params in PIPELINE order permanently
+            # — the 1F1B shard_map then slices each stage's chunks without any
+            # per-step cross-stage resharding (reference chunk-local weights,
+            # pipeline_scheduler.py:711+).  Checkpoints canonicalize back to
+            # natural order on save/load; eval un-permutes before model.apply.
+            perm, _ = layout
+            params = jax.jit(
+                lambda p: {**p, "blocks": permute_layers(p["blocks"], perm)},
+                out_shardings=shardings, donate_argnums=0)(params)
     else:
         params = jax.jit(model.init)(rng)
     if gpc.is_rank_for_log():
@@ -147,6 +159,7 @@ def initialize_trainer(model: ModelDef, params, opt_state, lr_scheduler, beta2_s
             model, _adam_cfg(), _scaler_cfg(), rules, pp,
             label_smoothing=gpc.config.loss.get("label_smoothing", 0),
             num_chunks=num_chunks,
+            moe_loss_coeff=gpc.config.loss.get("moe_loss_coeff", 0.01),
         )
     else:
         train_step = make_train_step(
@@ -154,7 +167,10 @@ def initialize_trainer(model: ModelDef, params, opt_state, lr_scheduler, beta2_s
             label_smoothing=gpc.config.loss.get("label_smoothing", 0),
             moe_loss_coeff=gpc.config.loss.get("moe_loss_coeff", 0.01),
         )
-    eval_step = make_eval_step(model, gpc.config.loss.get("label_smoothing", 0))
+    layout = active_layer_layout()
+    eval_step = make_eval_step(model, gpc.config.loss.get("label_smoothing", 0),
+                               per_token=True,
+                               layer_perm_inv=None if layout is None else layout[1])
     engine = Engine(model, params, opt_state, train_step, lr_scheduler, beta2_scheduler, eval_step)
     return Trainer(engine)
 

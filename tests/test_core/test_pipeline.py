@@ -103,6 +103,134 @@ def test_pp2_msp2_sequence_parallel():
     np.testing.assert_allclose(losses_dp, losses_msp, rtol=3e-4, atol=3e-5)
 
 
+def test_pp2_isp2_sequence_parallel():
+    """isp (Ulysses) inside the pipeline: stage activations stay seq-sharded
+    over tp, attention reshards seq->heads via all-to-all, weights are full.
+    Must match the dp baseline (reference runs ISP through both pipeline
+    schedulers — ``core/scheduler/pipeline_scheduler.py:40-66``, CI pins
+    training_16GPU_4DP2TP2PP_ISP)."""
+    losses_dp, gn_dp = _run(_cfg(data=dict(micro_num=4)), steps=2, n_devices=2)
+    losses_isp, gn_isp = _run(
+        _cfg(data=dict(micro_num=4),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_isp, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(gn_dp, gn_isp, rtol=2e-3, atol=2e-4)
+
+
+def test_pp2_isp2_wp2_weight_parallel():
+    """isp + weight-parallel storage inside the pipeline: params are stored
+    wp-sharded and gathered just-in-time per micro inside the vjp (reference
+    ``ISPCommunicator`` prefetch, ``core/communication/isp.py:143-527``);
+    grads return wp-sharded through the gather transpose.  Loss + grad-norm
+    must match the dp baseline."""
+    losses_dp, gn_dp = _run(_cfg(data=dict(micro_num=4)), steps=2, n_devices=2)
+    losses_wp, gn_wp = _run(
+        _cfg(data=dict(micro_num=4),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+                           pipeline=dict(size=2), weight=dict(size=2))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_wp, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(gn_dp, gn_wp, rtol=2e-3, atol=2e-4)
+
+
+def test_pp2_rsp2_ring_attention():
+    """rsp (ring attention) inside the pipeline: seq-sharded end-to-end with
+    kv rotating around the tp ring — head-count-free sequence scaling."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4)), steps=2, n_devices=2)
+    losses_rsp, _ = _run(
+        _cfg(data=dict(micro_num=4),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_rsp, rtol=3e-4, atol=3e-5)
+
+
+def test_interleaved_pp2_isp2():
+    """isp composed with the interleaved (virtual-chunk) schedule."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4), model=dict(num_layers=4)),
+                        steps=2, n_devices=2)
+    losses_il, _ = _run(
+        _cfg(data=dict(micro_num=4), model=dict(num_layers=4, num_chunks=2),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+                           pipeline=dict(size=2), weight=dict(size=2))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
+
+
+def test_interleaved_params_pipeline_order_and_canonical_ckpt(tmp_path):
+    """Interleaved pp stores block params in PIPELINE order in memory (no
+    per-step take/un-take resharding — reference holds chunk-local weights,
+    ``pipeline_scheduler.py:711+``) while checkpoints hold NATURAL order, so
+    they round-trip across pp/num_chunks topologies."""
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.parallel.pipeline import interleaved_layer_layout
+    from internevo_tpu.train.pipeline import (
+        initialize_model, initialize_optimizer, initialize_trainer,
+    )
+    from internevo_tpu.checkpoint.checkpoint_manager import (
+        CheckpointLoadMask, try_load_internevo_ckpt,
+    )
+    from internevo_tpu.core.config import Config
+    from internevo_tpu.checkpoint.checkpoint_manager import CheckpointManager
+
+    from tests.test_training.test_loss import demo_config
+
+    from internevo_tpu.core.trainer import TrainState
+
+    def build(parallel, n_devices, num_layers=4, chunks=None):
+        model_over = dict(num_layers=num_layers)
+        if chunks:
+            model_over["num_chunks"] = chunks
+        cfg = demo_config(model=model_over, parallel=parallel)
+        launch(cfg, seed=1024, devices=jax.devices()[:n_devices])
+        model, params = initialize_model()
+        opt_state, lrs, b2 = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lrs, b2)
+        return trainer, TrainState(gpc.config)
+
+    il = dict(zero1=dict(size=2), tensor=dict(size=1, mode="mtp"),
+              pipeline=dict(size=2), weight=dict(size=1))
+    tr_il, ts_il = build(il, 4, chunks=2)
+    perm, inv = interleaved_layer_layout(4, 2, 2)
+    assert list(perm) != list(range(4))  # layout is actually non-identity
+    w_il = np.asarray(tr_il.engine.params["blocks"]["w1"]["kernel"])
+
+    mgr = CheckpointManager(
+        Config(dict(enable_save_ckpt=True, save_ckpt_folder=str(tmp_path / "c"),
+                    checkpoint_every=5, auto_resume=True, async_upload=False,
+                    oss_snapshot_freq=0, load_ckpt_info=None)),
+        engine=tr_il.engine, train_state=ts_il, model_config={})
+    path = str(tmp_path / "c" / "0")
+    mgr.save_checkpoint(path, ts_il)
+
+    # same-topology round trip: loaded params must equal the saved ones
+    tr_il2, ts_il2 = build(il, 4, chunks=2)
+    try_load_internevo_ckpt(tr_il2.engine, ts_il2, path,
+                            CheckpointLoadMask(("model", "optimizer")))
+    np.testing.assert_array_equal(
+        np.asarray(tr_il2.engine.params["blocks"]["w1"]["kernel"]), w_il)
+
+    # cross-topology: pp=1 init (natural order) must equal the checkpoint as
+    # loaded (same seed -> same natural init across topologies)
+    pp1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    tr_nat, ts_nat = build(pp1, 1)
+    w_nat = np.asarray(tr_nat.engine.params["blocks"]["w1"]["kernel"])
+    np.testing.assert_array_equal(w_il, w_nat[perm])  # memory is pipeline order
+    try_load_internevo_ckpt(tr_nat.engine, ts_nat, path,
+                            CheckpointLoadMask(("model",)))
+    np.testing.assert_array_equal(
+        np.asarray(tr_nat.engine.params["blocks"]["w1"]["kernel"]), w_nat)
+
+
 def test_1f1b_memory_flat_in_micro_num():
     """True-1F1B criterion (reference pipeline_scheduler.py:375-430 bounds
     in-flight microbatches to O(pp)): compiled temp memory must NOT grow with

@@ -332,3 +332,147 @@ def test_moe_ep_loss_matches_replicated():
     losses_rep = run(1, 4, "packed")    # 1 device -> ep=1 (experts local)
     assert gpc.sizes.ep == 1, gpc.sizes
     np.testing.assert_allclose(losses_ep, losses_rep, rtol=3e-4, atol=3e-5)
+
+
+def _moe_pp_cfg(seq, V, steps, micro_bsz, parallel):
+    return dict(
+        model_type="INTERNLM_MoE",
+        data=dict(seq_len=seq, micro_num=2, micro_bsz=micro_bsz, total_steps=steps,
+                  packed_length=seq * micro_bsz),
+        model=dict(checkpoint=False, num_attention_heads=4, vocab_size=V,
+                   embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                   num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                   norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                   # deterministic gating + no-drop capacity (see ep test above)
+                   num_experts=4, top_k=1, moe_use_rts=False,
+                   moe_capacity_factor=4.0, moe_eval_capacity_factor=4.0),
+        loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+        adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                  adam_eps=1e-8, weight_decay=0.01),
+        lr_scheduler=dict(total_steps=steps, init_steps=0, warmup_ratio=0.25,
+                          eta_min=1e-5),
+        parallel=parallel,
+    )
+
+
+def _run_moe(config, toks, labs, n_devices, pack):
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import (
+        initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    steps, _micros, rows, seq = toks.shape
+    launch(config, seed=1024, devices=jax.devices()[:n_devices])
+    model, params = initialize_model()
+    opt_state, lrs, b2 = initialize_optimizer(model, params)
+    trainer = initialize_trainer(model, params, opt_state, lrs, b2)
+    dp = gpc.sizes.dp_total
+    losses, moes = [], []
+    for s in range(steps):
+        if pack == "rows":           # one row per dp slot
+            ti, li = toks[s], labs[s]
+            seg = np.ones_like(ti)
+            idx = np.tile(np.arange(seq, dtype=np.int32), (2, rows, 1))
+        else:                        # all rows packed into dp slots as segments
+            per = rows // dp
+            ti = toks[s].reshape(2, dp, per * seq)
+            li = labs[s].reshape(2, dp, per * seq)
+            seg = np.repeat(np.arange(1, per + 1, dtype=np.int32), seq)
+            seg = np.broadcast_to(seg[None, None, :], ti.shape).copy()
+            idx = np.tile(np.arange(seq, dtype=np.int32), (2, dp, per))
+        batch = {
+            "input_ids": jnp.asarray(ti), "labels": jnp.asarray(li),
+            "segment_ids": jnp.asarray(seg), "indexes": jnp.asarray(idx),
+        }
+        m = trainer.execute_schedule(batch)
+        losses.append(float(m["loss"]))
+        moes.append(float(m["moe_loss"]))
+    return losses, moes
+
+
+def test_moe_pp2_matches_pp1():
+    """MoE through the 1F1B pipeline (reference pipelines MoE and accumulates
+    ``accum_moe_loss`` through the schedule, ``pipeline_scheduler.py:307-320``):
+    at dp_total=1 the pp=2 run must reproduce the pp=1 loss AND moe aux-loss
+    curves exactly (same gating groups, deterministic top-1 routing)."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(1)
+    toks = rng.randint(1, V, (steps, 2, 1, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 1, seq)).astype(np.int32)
+
+    pp1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    pp2 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_pp_cfg(seq, V, steps, 1, pp1), toks, labs, 1, "rows")
+    l2, m2 = _run_moe(_moe_pp_cfg(seq, V, steps, 1, pp2), toks, labs, 2, "rows")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)
+    assert any(m > 0 for m in m2), m2  # aux loss actually flows
+
+
+def test_moe_pp2_ep2_matches_ep1():
+    """Expert parallelism INSIDE the pipeline: pp2 x ep2 (manual expert
+    all-to-all over the ep mesh axis, the hand-written analogue of the
+    reference ``moe/utils.py:8-62`` _AllToAll) must match pp2 x ep1 with the
+    same global tokens.  Per-shard gating groups are matched by re-packing
+    (2 rows of 128 <-> 1 packed row of 256); moe_loss_coeff=0 because the
+    aux-loss STATISTIC is per-gating-call and the calls differ in grouping."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(2)
+    toks = rng.randint(1, V, (steps, 2, 2, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 2, seq)).astype(np.int32)
+
+    from internevo_tpu.core.context import gpc
+
+    ep2 = dict(zero1=dict(size=2), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    ep1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    cfg_a = _moe_pp_cfg(seq, V, steps, 1, ep2)
+    cfg_b = _moe_pp_cfg(seq, V, steps, 2, ep1)
+    cfg_a["loss"]["moe_loss_coeff"] = 0.0
+    cfg_b["loss"]["moe_loss_coeff"] = 0.0
+    la, _ = _run_moe(cfg_a, toks, labs, 4, "rows")
+    assert gpc.sizes.ep == 2, gpc.sizes
+    lb, _ = _run_moe(cfg_b, toks, labs, 2, "packed")
+    assert gpc.sizes.ep == 1, gpc.sizes
+    np.testing.assert_allclose(la, lb, rtol=3e-4, atol=3e-5)
+
+
+def test_jitter_gate_policy_perturbs_routing_and_validates():
+    """noisy_gate_policy='Jitter' must actually jitter the gate input during
+    training (reference gshard_layer.py:340-342) and unknown policies must
+    raise instead of silently no-op'ing."""
+    import pytest
+
+    B, S, H, M, E = 2, 32, 16, 32, 4
+    key = jax.random.PRNGKey(0)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)),
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.02,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.02,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.02,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    base_kwargs = dict(top_k=1, capacity_factor=2.0, min_capacity=4,
+                       use_rts=False, rng=jax.random.PRNGKey(7), train=True)
+    out_plain, aux_plain, _ = moe_layer_apply(layer, x, **base_kwargs)
+    out_jit, aux_jit, _ = moe_layer_apply(layer, x, noisy_gate_policy="Jitter",
+                                          **base_kwargs)
+    # jitter perturbs the gate logits -> combine weights (and generally aux)
+    assert not np.allclose(np.asarray(out_plain), np.asarray(out_jit))
+    # eval mode: policy is inert (train gating is what the reference jitters)
+    out_eval, _, _ = moe_layer_apply(layer, x, top_k=1, capacity_factor=2.0,
+                                     min_capacity=4, use_rts=False,
+                                     noisy_gate_policy="Jitter",
+                                     rng=jax.random.PRNGKey(7), train=False)
+    out_eval2, _, _ = moe_layer_apply(layer, x, top_k=1, capacity_factor=2.0,
+                                      min_capacity=4, use_rts=False, train=False)
+    np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_eval2))
+    with pytest.raises(ValueError):
+        moe_layer_apply(layer, x, noisy_gate_policy="bogus", **base_kwargs)
