@@ -10,19 +10,23 @@ without sparse-matrix machinery.
 Top-k routing contributes k scaled copies of each token; the inverse
 permutation scatter-adds the expert outputs back.
 
-Expert parallelism: the expert weight stacks shard over the ``ep`` mesh axis
-(``modeling_moe.moe_param_specs``) and GSPMD gathers them just-in-time around
-the ragged matmuls — ZeRO-3-style weight sharding rather than token
-all-to-all.  A dispatch-a2a dropless variant needs ``lax.ragged_all_to_all``,
-which XLA:CPU cannot execute (the test mesh is CPU), so the a2a layout is the
-GShard path's job (``gshard.py``: capacity-based dispatch with a real EXPERT
-all-to-all); this path trades a per-layer weight gather for zero token
-drops.
+Expert parallelism, two layouts:
+
+- ``dropless_moe_apply`` (GSPMD): expert weight stacks shard over the ``ep``
+  mesh axis and GSPMD gathers them just-in-time around the ragged matmuls —
+  ZeRO-3-style weight sharding.  Correct, but the traffic direction is wrong
+  at scale (weights >> activations for big expert counts).
+- ``dropless_moe_apply_ep`` (token all-to-all): the reference MegaBlocks EP
+  layout (``model/moe/megablock/megablock_dmoe.py``, ``moe/utils.py:8-62``
+  _AllToAll) — tokens are exchanged, experts stay resident.  TPU lowering is
+  ``lax.ragged_all_to_all`` (variable rows per peer in one collective);
+  XLA:CPU cannot execute that op, so the test mesh runs a jnp emulation with
+  identical semantics (``_ragged_a2a_emulated``) behind the same seam.
 """
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -78,3 +82,139 @@ def dropless_moe_apply(
     out = jnp.zeros((n, H), expert_out.dtype).at[inv_token].add(expert_out * scale)
     exp_counts = group_sizes
     return out.reshape(B, S, H), l_aux, exp_counts
+
+
+def _ragged_a2a_emulated(operand, output, input_offsets, send_sizes,
+                         output_offsets, recv_sizes, axis_name: str):
+    """jnp emulation of ``lax.ragged_all_to_all`` (identical semantics) for
+    backends without the op (XLA:CPU test meshes): for each peer j, rows
+    ``operand[input_offsets[j] : +send_sizes[j]]`` land in rank j's ``output``
+    at ``output_offsets[j]``.  Implemented as an all_gather + masked scatter —
+    O(ep x rows) memory, test-scale only."""
+    n_src = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    ops = jax.lax.all_gather(operand, axis_name)          # (ep, cap_in, ...)
+    in_of = jax.lax.all_gather(input_offsets, axis_name)  # (ep, ep)
+    sz = jax.lax.all_gather(send_sizes, axis_name)        # (ep, ep)
+    out_of = jax.lax.all_gather(output_offsets, axis_name)
+    out = output
+    rows = jnp.arange(ops.shape[1])
+    for s in range(n_src):
+        # the slice source s sent to ME, placed at its chosen offset
+        start = in_of[s, my]
+        size = sz[s, my]
+        dst0 = out_of[s, my]
+        mask = (rows >= start) & (rows < start + size)
+        dst = jnp.where(mask, dst0 + (rows - start), output.shape[0])  # OOB = drop
+        out = out.at[dst].set(
+            jnp.where(mask.reshape((-1,) + (1,) * (operand.ndim - 1)), ops[s], 0),
+            mode="drop")
+    return out
+
+
+def _ragged_a2a_available() -> bool:
+    return jax.default_backend() not in ("cpu",)
+
+
+def dropless_moe_apply_ep(
+    layer: dict,
+    x: jax.Array,
+    *,
+    top_k: int = 2,
+    ep_axis: str,
+    ep_size: int,
+    rng: Optional[jax.Array] = None,
+    train: bool = True,
+    a2a: Optional[Callable] = None,
+):
+    """Token-all-to-all dropless MoE INSIDE a manual shard_map over ``ep_axis``
+    (reference MegaBlocks EP dispatch, ``moe/utils.py:8-62``):
+
+    - gate the LOCAL token shard (the reference's per-rank gating);
+    - sort token copies by routed expert; rows bound for expert e travel to
+      rank ``e // (E/ep)`` in ONE ``lax.ragged_all_to_all`` (variable rows per
+      peer — no capacity padding, the dropless property on the wire);
+    - expert ids ride a second ragged a2a, received rows re-sort into local
+      expert groups for ``lax.ragged_dot`` with the RESIDENT (E/ep) weights;
+    - the inverse ragged a2a returns expert outputs to their source rank.
+
+    ``layer["experts"]`` leaves are the LOCAL (E/ep, ...) shards;
+    ``layer["gate"]`` is full.  The receive buffer is the exact worst case
+    (ep x n x k rows) so no token can ever drop.  ``a2a`` overrides the
+    collective (tests inject ``_ragged_a2a_emulated`` on CPU meshes).
+    """
+    B, S, H = x.shape
+    E_loc = layer["experts"]["w1"].shape[0]
+    E = E_loc * ep_size
+    my = jax.lax.axis_index(ep_axis)
+    tokens = x.reshape(B * S, H)
+    n = tokens.shape[0]
+    if a2a is None:
+        a2a = (jax.lax.ragged_all_to_all if _ragged_a2a_available()
+               else _ragged_a2a_emulated)
+
+    logits = tokens.astype(jnp.float32) @ layer["gate"].astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    top_probs, top_idx = jax.lax.top_k(probs, top_k)
+    top_probs = top_probs / jnp.sum(top_probs, axis=-1, keepdims=True)
+
+    # per-shard aux stats (the reference's per-rank l_aux, averaged by the
+    # caller's dp-mean)
+    me = jnp.mean(probs, axis=0)
+    ce = jnp.mean(jax.nn.one_hot(top_idx[:, 0], E, dtype=jnp.float32), axis=0)
+    l_aux = jnp.sum(me * ce) * E
+
+    flat_expert = top_idx.reshape(-1)
+    flat_weight = top_probs.reshape(-1)
+    order = jnp.argsort(flat_expert, stable=True)
+    inv_token = order // top_k
+    sorted_expert = jnp.take(flat_expert, order)
+    gathered = jnp.take(tokens, inv_token, axis=0)          # (n*k, H)
+    group_sizes = jnp.bincount(flat_expert, length=E)
+
+    # ---- dispatch layout: sorted rows are contiguous per destination rank
+    send_sizes = group_sizes.reshape(ep_size, E_loc).sum(-1).astype(jnp.int32)
+    input_offsets = (jnp.cumsum(send_sizes) - send_sizes).astype(jnp.int32)
+    SM = jax.lax.all_gather(send_sizes, ep_axis)            # (ep, ep) [src, dst]
+    recv_sizes = SM[:, my].astype(jnp.int32)                # rows from each src
+    # sender view: where MY chunk starts in dst's buffer = rows earlier srcs
+    # put there
+    col_excl = jnp.cumsum(SM, axis=0) - SM                  # (ep, ep)
+    output_offsets = col_excl[my, :].astype(jnp.int32)
+    cap = ep_size * n * top_k                               # exact worst case
+
+    recv = a2a(gathered, jnp.zeros((cap, H), gathered.dtype),
+               input_offsets, send_sizes, output_offsets, recv_sizes,
+               axis_name=ep_axis)
+    SENT = jnp.int32(E)                                     # pad sentinel
+    recv_ids = a2a(sorted_expert.astype(jnp.int32), jnp.full((cap,), SENT),
+                   input_offsets, send_sizes, output_offsets, recv_sizes,
+                   axis_name=ep_axis)
+
+    # ---- local expert compute over received rows, re-grouped by expert
+    local_ids = jnp.where(recv_ids >= SENT, E_loc, recv_ids - my * E_loc)
+    order2 = jnp.argsort(local_ids, stable=True)            # pads sort last
+    grouped = jnp.take(recv, order2, axis=0)
+    gs_local = jnp.bincount(jnp.take(local_ids, order2), length=E_loc)
+
+    w1, w2, w3 = layer["experts"]["w1"], layer["experts"]["w2"], layer["experts"]["w3"]
+    h1 = jax.lax.ragged_dot(grouped, w1.astype(grouped.dtype), gs_local,
+                            preferred_element_type=jnp.float32).astype(grouped.dtype)
+    h3 = jax.lax.ragged_dot(grouped, w3.astype(grouped.dtype), gs_local,
+                            preferred_element_type=jnp.float32).astype(grouped.dtype)
+    hidden = jax.nn.silu(h1) * h3
+    eout = jax.lax.ragged_dot(hidden, w2.astype(hidden.dtype), gs_local,
+                              preferred_element_type=jnp.float32).astype(grouped.dtype)
+    # back to arrival order, then the inverse a2a returns rows to their source
+    eout = jnp.zeros_like(eout).at[order2].set(eout)
+
+    recv_offsets = (jnp.cumsum(recv_sizes) - recv_sizes).astype(jnp.int32)
+    IO = jax.lax.all_gather(input_offsets, ep_axis)         # (ep, ep)
+    back_offsets = IO[:, my].astype(jnp.int32)              # my chunk's home
+    returned = a2a(eout, jnp.zeros((n * top_k, H), eout.dtype),
+                   recv_offsets, recv_sizes, back_offsets, send_sizes,
+                   axis_name=ep_axis)
+
+    scale = jnp.take(flat_weight, order).astype(returned.dtype)[:, None]
+    out = jnp.zeros((n, H), returned.dtype).at[inv_token].add(returned * scale)
+    return out.reshape(B, S, H), l_aux, group_sizes

@@ -51,6 +51,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NEG_INF = -jnp.inf
+_FALLBACK_LOGGED: set = set()  # (S, S_kv) shapes already warned about
 LANES = 128
 SUBLANES = 8
 
@@ -856,6 +857,14 @@ def splash_attention(
     if block_q is None or block_k is None:
         from ..attention import attention_reference
 
+        key = (S, k.shape[1])
+        if key not in _FALLBACK_LOGGED:  # log once per shape: the dense
+            _FALLBACK_LOGGED.add(key)    # O(S^2) path silently eats evals
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "splash_attention: no sublane-aligned block divides seq lens "
+                "%s — falling back to the dense jnp reference path", key)
         return attention_reference(q, k, v, segment_ids=segment_ids,
                                    softmax_scale=scale, causal=causal)
     qt = q.transpose(0, 2, 1, 3)
