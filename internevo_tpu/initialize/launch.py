@@ -138,17 +138,6 @@ def launch(
     args_sanity_check()
     gpc.init_parallel_groups(devices)
     gpc.set_seed(seed)
-    model_cfg = gpc.config.get("model", {})
-    if (int(model_cfg.get("num_experts", 1) or 1) > 1 and gpc.sizes.pp > 1
-            and gpc.sizes.ep > 1):
-        moe_type = str(model_cfg.get("moe_type", "GShard") or "GShard").lower()
-        if (moe_type in ("dropless", "megablock-d", "megablock")
-                or not model_cfg.get("moe_drop_tokens", True)):
-            raise NotImplementedError(
-                "dropless MoE inside the pipeline requires ep == 1 (the ragged "
-                "path has no manual expert a2a yet; derived ep="
-                f"{gpc.sizes.ep}); use the GShard capacity path for ep > 1 "
-                "under pp, or set zero1=1 to force ep=1")
     sharding.set_rules(sharding.current_rules_from_context())
     # the default weight.size changed 0 -> 1 between rounds: isp/rsp configs
     # that omit parallel.weight now store weights UNSHARDED (reference default).

@@ -112,10 +112,22 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
         dropless = (cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock")
                     or not cfg.moe_drop_tokens)
         if dropless:
-            from .moe.dropless import dropless_moe_apply
+            import os
 
-            out, l_aux, _counts = dropless_moe_apply(
-                layer["moe"], h, top_k=cfg.top_k, rng=rng, train=train)
+            from ..parallel.sharding import get_rules
+            from .moe.dropless import dropless_moe_apply, dropless_moe_apply_gspmd_ep
+
+            sh = get_rules()
+            ep_size = sh.mesh.shape.get("ep", 1) if sh.mesh is not None else 1
+            # ep > 1: exchange TOKENS (ragged a2a, experts resident) — the
+            # reference MegaBlocks EP layout; IEVO_MOE_EP_WEIGHT_GATHER=1
+            # falls back to the ZeRO-3-style weight-gather layout
+            if ep_size > 1 and not os.environ.get("IEVO_MOE_EP_WEIGHT_GATHER"):
+                out, l_aux, _counts = dropless_moe_apply_gspmd_ep(
+                    layer["moe"], h, top_k=cfg.top_k, mesh=sh.mesh, train=train)
+            else:
+                out, l_aux, _counts = dropless_moe_apply(
+                    layer["moe"], h, top_k=cfg.top_k, rng=rng, train=train)
             return _residual_branch(layer, h, out), l_aux
         out, l_aux, _counts = moe_layer_apply(
             layer["moe"], h,

@@ -113,6 +113,10 @@ def _ragged_a2a_emulated(operand, output, input_offsets, send_sizes,
 
 
 def _ragged_a2a_available() -> bool:
+    import os
+
+    if os.environ.get("IEVO_FORCE_RAGGED_A2A"):  # HLO-evidence dumps: the op
+        return True                              # LOWERS on CPU (exec doesn't)
     return jax.default_backend() not in ("cpu",)
 
 
@@ -158,10 +162,14 @@ def dropless_moe_apply_ep(
     top_probs, top_idx = jax.lax.top_k(probs, top_k)
     top_probs = top_probs / jnp.sum(top_probs, axis=-1, keepdims=True)
 
-    # per-shard aux stats (the reference's per-rank l_aux, averaged by the
-    # caller's dp-mean)
-    me = jnp.mean(probs, axis=0)
-    ce = jnp.mean(jax.nn.one_hot(top_idx[:, 0], E, dtype=jnp.float32), axis=0)
+    # GLOBALLY-reduced aux stats (psum-mean over ep): the reference computes
+    # l_aux per rank (each rank's local batch), but reducing me/ce over the ep
+    # group makes the statistic identical to the single-device / weight-gather
+    # value — layout-invariant, so EP stays a pure layout change for the loss
+    me = jax.lax.pmean(jnp.mean(probs, axis=0), ep_axis)
+    ce = jax.lax.pmean(
+        jnp.mean(jax.nn.one_hot(top_idx[:, 0], E, dtype=jnp.float32), axis=0),
+        ep_axis)
     l_aux = jnp.sum(me * ce) * E
 
     flat_expert = top_idx.reshape(-1)
@@ -217,4 +225,44 @@ def dropless_moe_apply_ep(
 
     scale = jnp.take(flat_weight, order).astype(returned.dtype)[:, None]
     out = jnp.zeros((n, H), returned.dtype).at[inv_token].add(returned * scale)
-    return out.reshape(B, S, H), l_aux, group_sizes
+    # global per-expert counts (the reference logs exp_counts after its a2a)
+    return out.reshape(B, S, H), l_aux, jax.lax.psum(group_sizes, ep_axis)
+
+
+def dropless_moe_apply_gspmd_ep(
+    layer: dict,
+    x: jax.Array,
+    *,
+    top_k: int = 2,
+    mesh,
+    ep_axis: str = "ep",
+    train: bool = True,
+):
+    """Token-all-to-all dropless MoE from INSIDE a GSPMD region: a nested
+    partial-manual ``shard_map`` makes only the ``ep`` mesh axis manual (dp/
+    zero/tp stay auto-partitioned), runs ``dropless_moe_apply_ep`` on the
+    local token shard with the resident (E/ep, ...) expert shards, and
+    returns to GSPMD-land.  This replaces the weight-gather layout of
+    ``dropless_moe_apply`` with the reference's EP traffic direction
+    (``moe/utils.py:8-62``) while keeping the rest of the model untouched.
+
+    ``layer`` leaves are the GLOBAL arrays (GSPMD-sharded: experts over ep,
+    gate replicated); the batch dim of ``x`` must divide by ep (it is a
+    factor of the (dp, ep, zero) batch sharding).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    ep_size = mesh.shape[ep_axis]
+
+    def local_fn(gate, experts, h):
+        return dropless_moe_apply_ep(
+            {"gate": gate, "experts": experts}, h, top_k=top_k,
+            ep_axis=ep_axis, ep_size=ep_size, train=train)
+
+    espec = jax.tree.map(lambda _: P(ep_axis), layer["experts"])
+    return jax.shard_map(
+        local_fn, mesh=mesh,
+        in_specs=(P(), espec, P(ep_axis)),
+        out_specs=(P(ep_axis), P(), P()),
+        axis_names={ep_axis}, check_vma=False,
+    )(layer["gate"], layer["experts"], x)

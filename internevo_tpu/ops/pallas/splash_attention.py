@@ -281,6 +281,11 @@ def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
         want = max(int(os.environ["IEVO_FLASH_GK_BWD"]), 1)
         while Hkv % want:
             want -= 1
+        if want * q_per_kv > 8:
+            raise ValueError(
+                f"IEVO_FLASH_GK_BWD={want} gives {want * q_per_kv} dq chains "
+                f"(> the 8-chain cap at q_per_kv={q_per_kv}); pick a smaller "
+                "group or leave the knob unset for the auto choice")
         return want, q_per_kv
     # NB: the estimate undercounts per-chain (bq, bk) f32 intermediates; 56MB
     # keeps the real allocation safely under the 100MB scoped-vmem limit (gk=8
@@ -301,6 +306,16 @@ def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
         qc -= 1
     while q_per_kv % qc:
         qc -= 1
+    if est(qc, 1) > budget:
+        # even the single-chain working set (f32 (bq, S, D) dq stripe) is over
+        # budget — fail HERE with actionable numbers instead of an opaque
+        # Mosaic scoped-vmem rejection at compile time
+        raise ValueError(
+            f"splash backward working set {est(qc, 1) / 2**20:.0f}MB exceeds "
+            f"the {budget / 2**20:.0f}MB VMEM budget even at one dq chain "
+            f"(seq so long the f32 dq stripe alone overflows); shrink "
+            "block_q/seq or raise IEVO_FLASH_VMEM_MB_BWD + "
+            "IEVO_FLASH_VMEM_LIMIT_MB if the chip allows")
     return 1, qc
 
 

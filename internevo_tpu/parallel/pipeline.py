@@ -178,11 +178,20 @@ def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int):
     dropless = (cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock")
                 or not cfg.moe_drop_tokens)
     if dropless:
-        # ep==1 inside pp (launch guard): experts fully local, pure compute
-        from ..models.moe.dropless import dropless_moe_apply
+        if ep > 1:
+            # token all-to-all over the manual ep axis (experts arrive as the
+            # LOCAL (E/ep, ...) shard per _block_pspecs); reference MegaBlocks
+            # EP dispatch, ``moe/utils.py:8-62``
+            from ..models.moe.dropless import dropless_moe_apply_ep
 
-        out, l_aux, _counts = dropless_moe_apply(
-            layer["moe"], h, top_k=cfg.top_k, rng=rng, train=True)
+            out, l_aux, _counts = dropless_moe_apply_ep(
+                layer["moe"], h, top_k=cfg.top_k, ep_axis=EP, ep_size=ep,
+                rng=rng, train=True)
+        else:
+            from ..models.moe.dropless import dropless_moe_apply
+
+            out, l_aux, _counts = dropless_moe_apply(
+                layer["moe"], h, top_k=cfg.top_k, rng=rng, train=True)
     else:
         out, l_aux, _counts = moe_layer_apply(
             layer["moe"], h,

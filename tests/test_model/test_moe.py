@@ -442,6 +442,164 @@ def test_moe_pp2_ep2_matches_ep1():
     np.testing.assert_allclose(la, lb, rtol=3e-4, atol=3e-5)
 
 
+def test_dropless_ep_token_a2a_matches_single_device():
+    """Token-all-to-all dropless EP (``dropless_moe_apply_ep``, reference
+    MegaBlocks EP dispatch ``moe/utils.py:8-62``) is a pure layout change:
+    under a full-manual 4-way ep shard_map it must reproduce the single-device
+    ``dropless_moe_apply`` outputs, aux loss (globally-reduced stats), counts,
+    and expert-weight grads (local shard == slice of the full grad)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from internevo_tpu.models.moe.dropless import (
+        dropless_moe_apply, dropless_moe_apply_ep,
+    )
+
+    B, S, H, M, E, ep = 4, 32, 16, 32, 8, 4
+    key = jax.random.PRNGKey(3)
+    layer = {
+        "gate": jax.random.normal(key, (H, E)) * 0.1,
+        "experts": {
+            "w1": jax.random.normal(jax.random.fold_in(key, 1), (E, H, M)) * 0.05,
+            "w3": jax.random.normal(jax.random.fold_in(key, 2), (E, H, M)) * 0.05,
+            "w2": jax.random.normal(jax.random.fold_in(key, 3), (E, M, H)) * 0.05,
+        },
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 4), (B, S, H))
+    mesh = Mesh(np.array(jax.devices()[:ep]), ("ep",))
+
+    def local(gate, experts, xx):
+        out, l_aux, counts = dropless_moe_apply_ep(
+            {"gate": gate, "experts": experts}, xx, top_k=2,
+            ep_axis="ep", ep_size=ep, train=False)
+        return out, l_aux, counts
+
+    espec = jax.tree.map(lambda _: P("ep"), layer["experts"])
+    run = jax.jit(jax.shard_map(
+        local, mesh=mesh, in_specs=(P(), espec, P("ep")),
+        out_specs=(P("ep"), P(), P()), axis_names={"ep"}, check_vma=False))
+    out_ep, aux_ep, counts_ep = run(layer["gate"], layer["experts"], x)
+    out_ref, aux_ref, counts_ref = dropless_moe_apply(layer, x, top_k=2, train=False)
+    np.testing.assert_allclose(np.asarray(out_ep), np.asarray(out_ref),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(float(aux_ep), float(aux_ref), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(counts_ep), np.asarray(counts_ref))
+
+    # grads: d/d(experts) of sum(out^2) — local shard equals the full-grad slice
+    def loss_ep(experts):
+        return jnp.sum(run(layer["gate"], experts, x)[0] ** 2)
+
+    def loss_ref(experts):
+        return jnp.sum(dropless_moe_apply(
+            {"gate": layer["gate"], "experts": experts}, x, top_k=2,
+            train=False)[0] ** 2)
+
+    g_ep = jax.grad(loss_ep)(layer["experts"])
+    g_ref = jax.grad(loss_ref)(layer["experts"])
+    for k in ("w1", "w2", "w3"):
+        np.testing.assert_allclose(np.asarray(g_ep[k]), np.asarray(g_ref[k]),
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_dropless_model_ep_loss_matches_replicated():
+    """The GSPMD model path routes dropless MoE through the nested-shard_map
+    token a2a when ep > 1 (``dropless_moe_apply_gspmd_ep``): the 4-device
+    (ep=4) loss curve must match the 1-device run on the same global tokens —
+    including the aux-loss contribution (globally-reduced gate stats make the
+    statistic layout-invariant)."""
+    import jax
+    from internevo_tpu.core.context import gpc
+    from internevo_tpu.initialize.launch import launch
+    from internevo_tpu.train.pipeline import (
+        initialize_model, initialize_optimizer, initialize_trainer,
+    )
+
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(5)
+    toks = rng.randint(1, V, (steps, 2, 4, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 4, seq)).astype(np.int32)
+
+    def cfg(micro_bsz):
+        return dict(
+            model_type="INTERNLM_MoE",
+            data=dict(seq_len=seq, micro_num=2, micro_bsz=micro_bsz, total_steps=steps,
+                      packed_length=seq * micro_bsz),
+            model=dict(checkpoint=False, num_attention_heads=4, vocab_size=V,
+                       embed_grad_scale=1, parallel_output=True, hidden_size=64,
+                       num_layers=2, mlp_ratio=2.0, multiple_of=32, dtype="torch.float32",
+                       norm_type="rmsnorm", layer_norm_epsilon=1e-5,
+                       num_experts=4, top_k=1, moe_use_rts=False,
+                       moe_type="Dropless"),
+            loss=dict(label_smoothing=0, moe_loss_coeff=0.01),
+            adam=dict(lr=1e-3, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0,
+                      adam_eps=1e-8, weight_decay=0.01),
+            lr_scheduler=dict(total_steps=steps, init_steps=0, warmup_ratio=0.25,
+                              eta_min=1e-5),
+            parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"),
+                          pipeline=dict(size=1), weight=dict(size=1)),
+        )
+
+    def run(n_devices, micro_bsz, pack):
+        launch(cfg(micro_bsz), seed=1024, devices=jax.devices()[:n_devices])
+        model, params = initialize_model()
+        opt_state, lrs, b2 = initialize_optimizer(model, params)
+        trainer = initialize_trainer(model, params, opt_state, lrs, b2)
+        losses, moes = [], []
+        for s in range(steps):
+            if pack == "rows":
+                ti, li = toks[s], labs[s]
+                seg = np.ones_like(ti)
+                idx = np.tile(np.arange(seq, dtype=np.int32), (2, 4, 1))
+            else:
+                ti = toks[s].reshape(2, 1, 4 * seq)
+                li = labs[s].reshape(2, 1, 4 * seq)
+                seg = np.repeat(np.arange(1, 5, dtype=np.int32), seq)[None, None, :].repeat(2, 0)
+                idx = np.tile(np.arange(seq, dtype=np.int32), (2, 1, 4))
+            batch = {
+                "input_ids": jnp.asarray(ti), "labels": jnp.asarray(li),
+                "segment_ids": jnp.asarray(seg), "indexes": jnp.asarray(idx),
+            }
+            m = trainer.execute_schedule(batch)
+            losses.append(float(m["loss"]))
+            moes.append(float(m["moe_loss"]))
+        return losses, moes
+
+    losses_ep, moes_ep = run(4, 1, "rows")
+    assert gpc.sizes.ep == 4, gpc.sizes
+    losses_rep, moes_rep = run(1, 4, "packed")
+    assert gpc.sizes.ep == 1, gpc.sizes
+    np.testing.assert_allclose(losses_ep, losses_rep, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(moes_ep, moes_rep, rtol=3e-4, atol=3e-5)
+
+
+def test_dropless_pp2_ep2_matches_ep1():
+    """Dropless MoE + expert parallelism INSIDE the 1F1B pipeline: the manual
+    token a2a over the ep mesh axis (pp2 x ep2) must match pp2 x ep1 on the
+    same global tokens, including the aux-loss curve (globally-reduced gate
+    stats)."""
+    from internevo_tpu.core.context import gpc
+
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(6)
+    toks = rng.randint(1, V, (steps, 2, 2, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 2, seq)).astype(np.int32)
+
+    ep2 = dict(zero1=dict(size=2), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    ep1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    cfg_a = _moe_pp_cfg(seq, V, steps, 1, ep2)
+    cfg_b = _moe_pp_cfg(seq, V, steps, 2, ep1)
+    for c in (cfg_a, cfg_b):
+        c["model"]["moe_type"] = "Dropless"
+    la, ma = _run_moe(cfg_a, toks, labs, 4, "rows")
+    assert gpc.sizes.ep == 2, gpc.sizes
+    lb, mb = _run_moe(cfg_b, toks, labs, 2, "packed")
+    assert gpc.sizes.ep == 1, gpc.sizes
+    np.testing.assert_allclose(la, lb, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(ma, mb, rtol=3e-4, atol=3e-5)
+    assert any(m > 0 for m in ma), ma
+
+
 def test_jitter_gate_policy_perturbs_routing_and_validates():
     """noisy_gate_policy='Jitter' must actually jitter the gate input during
     training (reference gshard_layer.py:340-342) and unknown policies must
