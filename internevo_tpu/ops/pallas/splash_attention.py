@@ -51,6 +51,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 NEG_INF = -jnp.inf
+# softmax runs in the base-2 domain: exp2 is the VPU-native transcendental
+# (exp costs an extra multiply per element), and log2(e)·scale folds the
+# softmax scale into the one multiply the kernel already pays on s
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
 _FALLBACK_LOGGED: set = set()  # (S, S_kv) shapes already warned about
 LANES = 128
 SUBLANES = 8
@@ -306,16 +311,18 @@ def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
         qc -= 1
     while q_per_kv % qc:
         qc -= 1
-    if est(qc, 1) > budget:
-        # even the single-chain working set (f32 (bq, S, D) dq stripe) is over
-        # budget — fail HERE with actionable numbers instead of an opaque
-        # Mosaic scoped-vmem rejection at compile time
+    # the soft budget above only steers the partition choice; the HARD wall is
+    # the Mosaic scoped-vmem limit — if even one dq chain overflows THAT (the
+    # f32 (1, S, D) dq stripe at very long seq), fail here with actionable
+    # numbers instead of an opaque Mosaic rejection at compile time.  The
+    # estimate undercounts ~2x (see NB above), so check est against half.
+    limit = int(os.environ.get("IEVO_FLASH_VMEM_LIMIT_MB", "100")) * 2**20
+    if est(qc, 1) > limit // 2:
         raise ValueError(
-            f"splash backward working set {est(qc, 1) / 2**20:.0f}MB exceeds "
-            f"the {budget / 2**20:.0f}MB VMEM budget even at one dq chain "
-            f"(seq so long the f32 dq stripe alone overflows); shrink "
-            "block_q/seq or raise IEVO_FLASH_VMEM_MB_BWD + "
-            "IEVO_FLASH_VMEM_LIMIT_MB if the chip allows")
+            f"splash backward working set ~{2 * est(qc, 1) / 2**20:.0f}MB "
+            f"exceeds the {limit / 2**20:.0f}MB scoped-vmem limit even at one "
+            "dq chain (seq so long the f32 dq stripe alone overflows); shrink "
+            "block_q/seq or raise IEVO_FLASH_VMEM_LIMIT_MB if the chip allows")
     return 1, qc
 
 
@@ -370,11 +377,11 @@ def _fwd_kernel(
         m_prev = m_sc[rows, :1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
+        p = jnp.exp2(s - m_new)
         if needs_mask:
             # rows with no unmasked entry yet: keep l == 0 (zeros, -inf lse)
             p = jnp.where(m_new > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
-        correction = jnp.exp(m_prev - m_new)
+        correction = jnp.exp2(m_prev - m_new)
         l_new = l_sc[rows, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, g, :, :]
         pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
@@ -390,8 +397,10 @@ def _fwd_kernel(
         for g in range(gk):
             q = q_ref[0, g * q_per_kv:(g + 1) * q_per_kv].reshape(R, -1)
             k = k_ref[0, g, :, :]
+            # base-2 softmax domain (exp2 is VPU-native; log2e folds into the
+            # scale multiply the kernel already pays; l is base-invariant)
             s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
+                                    preferred_element_type=jnp.float32) * (scale * LOG2E)
             update(g, s, mask, needs_mask)
 
     @pl.when(run_f[b, t] == 1)
@@ -415,7 +424,8 @@ def _fwd_kernel(
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0] = (acc_sc[:] / l_safe).reshape(G, block_q, -1).astype(o_ref.dtype)
         m = m_sc[:, :1]
-        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        # m tracks max(s·scale·log2e): convert back to the natural-log domain
+        lse = jnp.where(l == 0.0, NEG_INF, m * LN2 + jnp.log(l_safe))
         lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], SUBLANES)).reshape(
             G, block_q, SUBLANES)
 
@@ -547,8 +557,10 @@ def _bwd_kernel(
             hq = g * q_per_kv + h
             q = q_ref[0, hq, :, :]
             do = do_ref[0, hq, :, :]
+            # base-2 domain: one multiply folds BOTH the softmax scale and the
+            # exp->exp2 conversion (lse arrives pre-multiplied by log2e)
             s_ = jax.lax.dot_general(q, k_ref[0, g, :, :], (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+                                     preferred_element_type=jnp.float32) * (scale * LOG2E)
             dp = jax.lax.dot_general(do, v_ref[0, g, :, :], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             return s_, dp
@@ -558,10 +570,12 @@ def _bwd_kernel(
             hq = g * q_per_kv + h
             lse = lse_ref[0, hq, :, :1]
             delta = delta_ref[0, hq, :, :1]
-            p = jnp.exp(s_ - lse)
+            p = jnp.exp2(s_ - lse)
             if needs_mask:
                 p = jnp.where(mask, p, 0.0)
-            ds = (p * (dp - delta) * scale).astype(q_ref.dtype)
+            # ds stays UNSCALED on the hot (bq, bk) path — the softmax scale
+            # is applied once to the accumulated dq/dk stripes at finalize
+            ds = (p * (dp - delta)).astype(q_ref.dtype)
             return p.astype(do_ref.dtype), ds
 
         def tail_mxu(ci, pb, ds):
@@ -608,12 +622,14 @@ def _bwd_kernel(
     @pl.when(last_of[t] == 1)
     def _finalize_dkv():
         D = q_ref.shape[-1]
-        dk_ref[0] = dk_sc[:].reshape(gk, D, block_k).astype(dk_ref.dtype)
+        # deferred softmax scale: ds was accumulated unscaled (dv uses p, no
+        # scale), so dk picks it up here, once per kv block
+        dk_ref[0] = (dk_sc[:] * scale).reshape(gk, D, block_k).astype(dk_ref.dtype)
         dv_ref[0] = dv_sc[:].reshape(gk, D, block_k).astype(dv_ref.dtype)
 
     @pl.when(t == n_steps - 1)
     def _finalize_dq():
-        dq_ref[0] = dq_sc[:].astype(dq_ref.dtype)
+        dq_ref[0] = (dq_sc[:] * scale).astype(dq_ref.dtype)
 
 
 def _splash_backward(res, g, *, scale, causal, block_q, block_k,
@@ -640,6 +656,9 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
     delta = jax.lax.broadcast_in_dim(delta, (B, Hq, S, SUBLANES), (0, 1, 2))
+    # pre-scale lse into the base-2 domain (one fused XLA pass) so the kernel's
+    # p = exp2(s·scale·log2e − lse·log2e) == exp(s·scale − lse)
+    lse = lse.astype(jnp.float32) * LOG2E
 
     q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
 

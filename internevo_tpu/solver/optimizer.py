@@ -26,6 +26,7 @@ norm/loss-scale reporting contract (-1 = overflow, -2 = nan).
 from __future__ import annotations
 
 import dataclasses
+import re
 from functools import partial
 from typing import Optional
 
@@ -71,16 +72,29 @@ def init_optimizer_state(params, scaler_cfg: GradScalerConfig | None = None) -> 
     }
 
 
+_FP32_KEYS = frozenset({"norm", "norm1", "norm2", "norm1_bias", "norm2_bias"})
+_EMBED_HEAD_KEYS = frozenset({"embedding", "head"})
+# residual-MoE mixing coefficient is a DENSE-branch param (ref moe/moe.py:66-99
+# — not flagged IS_EXPERT_PARAM), so it stays in the default group even though
+# it lives under the "moe" subtree
+_MOE_DENSE_LEAVES = frozenset({"coefficient"})
+
+
 def param_group_of(path: str) -> str:
     """Reference optimizer param groups (``train/utils.py:11-84`` /
     ``create_param_groups``): ``embed_head`` (embedding + output head, the
     IS_TENSOR_DATA_PARALLEL group), ``fp32`` (norm weights kept in fp32),
-    ``moe`` (expert-parallel params), ``default`` (everything else)."""
-    if "moe" in path:
-        return "moe"
-    if "embedding" in path or "head" in path:
+    ``moe`` (expert-parallel params), ``default`` (everything else).
+
+    Classification is by EXACT tree-key segments (the flag-table analogue of
+    the reference's explicit param flags) — substring matching would silently
+    regroup any future param whose name merely contains "norm"/"moe"/"head"."""
+    segs = re.findall(r"\['([^']+)'\]", path) or path.strip("/.").split("/")
+    if "moe" in segs:
+        return "default" if segs[-1] in _MOE_DENSE_LEAVES else "moe"
+    if any(s in _EMBED_HEAD_KEYS for s in segs):
         return "embed_head"
-    if "norm" in path:
+    if any(s in _FP32_KEYS for s in segs):
         return "fp32"
     return "default"
 

@@ -131,6 +131,22 @@ def test_param_group_norms_match_reference_grouping():
     np.testing.assert_allclose(groups["embed_head"], jnp.sqrt(16 * 4.0 + 8 * 1.0), rtol=1e-6)
 
 
+def test_param_group_classification_by_exact_segments():
+    """Classification is by exact tree-key segments, not substrings (advisory:
+    substring matching silently regroups params whose names merely contain
+    'norm'/'moe'/'head'); the residual-MoE coefficient is a dense-branch param
+    (ref moe/moe.py:66-99, not IS_EXPERT_PARAM) and must stay 'default'."""
+    from internevo_tpu.solver.optimizer import param_group_of
+
+    assert param_group_of("['blocks']['moe']['coefficient']") == "default"
+    assert param_group_of("['blocks']['moe']['experts']['w2']") == "moe"
+    assert param_group_of("['blocks']['moe']['gate']") == "moe"
+    # substrings must NOT trigger grouping
+    assert param_group_of("['blocks']['renormalizer']['kernel']") == "default"
+    assert param_group_of("['blocks']['overhead']['kernel']") == "default"
+    assert param_group_of("['blocks']['norm2_bias']") == "fp32"
+
+
 def test_scaler_hysteresis_reference_semantics():
     """Ref utils.py:484-522: hysteresis_step counts UP per overflow; once it
     reaches hysteresis, EVERY further overflow backs off (no reset after a
