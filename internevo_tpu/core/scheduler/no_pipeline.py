@@ -91,7 +91,8 @@ def make_train_step(
         getattr(cfg, "moe_use_rts", True)
         or getattr(cfg, "top_k", 1) >= 2
         or getattr(cfg, "moe_noisy_gate_policy", None) is not None)
-    stochastic = getattr(cfg, "drop_rate", 0.0) > 0.0 or moe_stochastic
+    stochastic = (getattr(cfg, "drop_rate", 0.0) > 0.0
+                  or getattr(cfg, "attn_drop_rate", 0.0) > 0.0 or moe_stochastic)
     if stochastic:
         from ..context import gpc
 

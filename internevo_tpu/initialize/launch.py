@@ -75,13 +75,15 @@ def args_sanity_check() -> None:
     # loss is partition-invariant (stronger than the reference's per-rank
     # streams, which only decorrelate).  The manual pipeline threads a
     # (step, micro, layer)-folded rng (parallel/pipeline._pdrop).  The splash
-    # kernel has no in-kernel probability dropout (reference flash-attn
-    # attn_drop) — fail loudly there.
+    # kernel regenerates attention-probability dropout masks from a counter
+    # hash (reference flash-attn attn_drop); only ring attention (rsp) lacks
+    # the plumbing — fail loudly there.
     model_cfg = cfg.get("model", {})
-    if float(model_cfg.get("attn_drop_rate", 0.0) or 0.0) > 0.0:
+    if (float(model_cfg.get("attn_drop_rate", 0.0) or 0.0) > 0.0
+            and parallel.tensor.mode == "rsp"):
         raise NotImplementedError(
-            "attention-probability dropout is not implemented in the splash "
-            "kernel; set attn_drop_rate=0 (shipped reference configs use 0)")
+            "attention-probability dropout is not implemented for ring "
+            "attention (rsp); use isp/msp/fsp/mtp or set attn_drop_rate=0")
     # MoE x pipeline composition (reference pipelines MoE with accum_moe_loss,
     # pipeline_scheduler.py:307-320): the manual 1F1B stage function runs the
     # GShard ffn with an explicit expert a2a — supported for tensor mode mtp;

@@ -291,8 +291,13 @@ def split_qkv(cfg: ModelConfig, qkv: jax.Array):
     return q, k, v
 
 
-def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.Array, segment_ids: jax.Array):
-    """MHA: fused wqkv -> rope(positions) -> segment-id flash attention -> out_proj."""
+def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.Array, segment_ids: jax.Array,
+                    attn_rng: "Optional[jax.Array]" = None, train: bool = True):
+    """MHA: fused wqkv -> rope(positions) -> segment-id flash attention -> out_proj.
+
+    ``attn_rng``: per-layer stream for attention-probability dropout
+    (``cfg.attn_drop_rate``, reference ``modules/multi_head_attention.py``
+    dropout_p); the kernel derives a deterministic counter hash from it."""
     sh = get_rules()
     B, S, H = x.shape
     qkv = _dense(x, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
@@ -332,9 +337,13 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
         k = sh.constrain(k, "batch", None, "act_heads", None)
         v = sh.constrain(v, "batch", None, "act_heads", None)
 
+        attn_drop = cfg.attn_drop_rate if (train and attn_rng is not None) else 0.0
+        drop_seed = (jax.random.bits(attn_rng, dtype=jnp.uint32).astype(jnp.int32)
+                     if attn_drop > 0.0 else None)
         ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                               softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
-                              max_segment_len=cfg.max_segment_len)
+                              max_segment_len=cfg.max_segment_len,
+                              dropout_rate=attn_drop, dropout_seed=drop_seed)
         ctx = sh.constrain(ctx, "batch", "seq", "act_heads", None)
     # under full-block remat, keep the attention output so the backward does
     # not re-run the forward flash kernel (its own bwd already recomputes p)
@@ -362,7 +371,10 @@ def block_forward(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.Ar
     ``mixer``/``ffn`` overrides support the MoE block variant.
     """
     sh = get_rules()
-    mixer = mixer or (lambda h: attention_block(cfg, layer, h, positions, segment_ids))
+    attn_rng = (jax.random.fold_in(dropout_rng, 7)
+                if dropout_rng is not None and cfg.attn_drop_rate > 0.0 else None)
+    mixer = mixer or (lambda h: attention_block(cfg, layer, h, positions, segment_ids,
+                                                attn_rng=attn_rng, train=train))
     ffn = ffn or (lambda h: mlp_block(cfg, layer, h))
 
     def dropout(h, rng_tag):
@@ -443,7 +455,8 @@ def model_forward(
     # residual dropout: every layer draws from its own stream (reference
     # SeedManager keeps distinct per-mode streams that ADVANCE per call; here
     # the layer index is folded into the key, same decorrelation stateless)
-    drop_active = train and cfg.drop_rate > 0.0 and dropout_rng is not None
+    drop_active = (train and dropout_rng is not None
+                   and (cfg.drop_rate > 0.0 or cfg.attn_drop_rate > 0.0))
 
     if block_fn is None:
         def block_fn(layer, h, rng=None):  # noqa: F811

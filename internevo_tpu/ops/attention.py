@@ -59,10 +59,15 @@ def attention_reference(
     segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """q: (B, S, Hq, D); k/v: (B, S, Hkv, D); segment_ids: (B, S) int32.
 
-    fp32 softmax like flash-attn; returns q.dtype.
+    fp32 softmax like flash-attn; returns q.dtype.  ``dropout_rate`` applies
+    torch-style dropout to the softmax probabilities (jax.random draw from
+    ``dropout_seed`` — a DIFFERENT mask than the splash kernel's counter hash,
+    like the reference's torch-vs-flash dropout streams also differ).
     """
     b, s, hq, d = q.shape
     hkv = k.shape[2]
@@ -81,6 +86,11 @@ def attention_reference(
         mask = jnp.logical_and(mask, seg_mask)
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
+    if dropout_rate > 0.0:
+        keep = jax.random.bernoulli(
+            jax.random.key(jnp.asarray(dropout_seed, jnp.int32).reshape(()).astype(jnp.uint32)),
+            1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out.astype(q.dtype)
 
@@ -135,6 +145,8 @@ def flash_attention(
     softmax_scale: Optional[float] = None,
     causal: bool = True,
     max_segment_len: Optional[int] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Dispatch: Pallas splash kernel on TPU, jnp reference elsewhere.
 
@@ -143,11 +155,15 @@ def flash_attention(
     blocks entirely; optional — None still gets causal flattening.
     """
     if use_pallas():
-        return _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_len)
-    return attention_reference(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale, causal=causal)
+        return _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal,
+                                max_segment_len, dropout_rate, dropout_seed)
+    return attention_reference(q, k, v, segment_ids=segment_ids, softmax_scale=softmax_scale,
+                               causal=causal, dropout_rate=dropout_rate,
+                               dropout_seed=dropout_seed)
 
 
-def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_len):
+def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_len,
+                     dropout_rate=0.0, dropout_seed=None):
     """Run the splash kernel, shard_map-wrapped when a multi-device mesh is
     active: Mosaic kernels cannot be auto-partitioned by GSPMD, so the GSPMD
     path gets an explicit manual island sharded over (batch x heads); inside
@@ -160,10 +176,14 @@ def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_le
     from .pallas.splash_attention import splash_attention
 
     kernel = partial(splash_attention, softmax_scale=softmax_scale, causal=causal,
-                     max_segment_len=max_segment_len)
+                     max_segment_len=max_segment_len, dropout_rate=dropout_rate)
+    if dropout_rate > 0.0:
+        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    else:
+        seed_arr = None
 
-    def direct(q, k, v, seg):
-        return kernel(q, k, v, segment_ids=seg)
+    def direct(q, k, v, seg, seed=None):
+        return kernel(q, k, v, segment_ids=seg, dropout_seed=seed)
 
     from ..parallel.sharding import get_rules
 
@@ -173,7 +193,7 @@ def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_le
 
     under_manual = _core.get_axis_env().axis_sizes  # inside shard_map already
     if mesh is None or under_manual or all(s == 1 for s in mesh.shape.values()):
-        return direct(q, k, v, segment_ids)
+        return direct(q, k, v, segment_ids, seed_arr)
 
     from ..core.context import DP, EP, TP, ZERO
 
@@ -196,12 +216,15 @@ def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_le
     # Mosaic rejects lowering inside a partially-manual region: the island
     # must claim every mesh axis (size-1 axes included)
     axis_names = set(mesh.axis_names)
+    if seed_arr is None:
+        seed_arr = jnp.zeros((1,), jnp.int32)  # uniform arity for the island
     if segment_ids is None:
-        sm = jax.shard_map(lambda q, k, v: direct(q, k, v, None), mesh=mesh,
-                           in_specs=(qkv_spec,) * 3, out_specs=qkv_spec,
+        sm = jax.shard_map(lambda q, k, v, seed: direct(q, k, v, None, seed),
+                           mesh=mesh,
+                           in_specs=(qkv_spec,) * 3 + (P(),), out_specs=qkv_spec,
                            axis_names=axis_names, check_vma=False)
-        return sm(q, k, v)
+        return sm(q, k, v, seed_arr)
     sm = jax.shard_map(direct, mesh=mesh,
-                       in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec),
+                       in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, P()),
                        out_specs=qkv_spec, axis_names=axis_names, check_vma=False)
-    return sm(q, k, v, segment_ids)
+    return sm(q, k, v, segment_ids, seed_arr)

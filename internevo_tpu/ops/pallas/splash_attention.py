@@ -329,6 +329,45 @@ def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
 # ------------------------------------------------------------------ forward
 
 
+def _dropout_scale(n_rows, block_q, block_k, q_start, k_start, head0, base,
+                   rate: float, q_per_row_block: int = 1):
+    """Deterministic attention-probability dropout mask (x 1/keep scale) for a
+    (n_rows, block_k) tile whose rows stack ``q_per_row_block`` heads of
+    ``block_q`` q rows each (fwd stacks the GQA group; bwd passes 1).
+
+    Counter-based: a murmur3-fmix32 hash of (global q row, global kv col,
+    global q head, seed/batch base) — pure u32 VPU ops, so the SAME mask is
+    regenerated in forward and backward (flash-attn's dropout recipe,
+    ``multi_head_attention.py`` dropout_p) and the kernel stays testable in
+    interpret mode (pltpu.prng_* has no CPU lowering)."""
+    li = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block_k), 0)
+    col = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block_k), 1)
+    col = col + jnp.uint32(k_start)
+    if q_per_row_block > 1:
+        row = li % jnp.uint32(block_q) + jnp.uint32(q_start)
+        head = li // jnp.uint32(block_q) + jnp.uint32(head0)
+    else:
+        row = li + jnp.uint32(q_start)
+        head = jnp.uint32(head0)
+    x = (row * jnp.uint32(0x9E3779B1)
+         ^ col * jnp.uint32(0x85EBCA77)
+         ^ head * jnp.uint32(0xC2B2AE3D)
+         ^ base)
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> jnp.uint32(13)
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> jnp.uint32(16)
+    thresh = jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
+    return jnp.where(x >= thresh, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+
+
+def _dropout_base(seed, b):
+    """Per-(seed, batch) scalar hash base (u32)."""
+    return (jnp.uint32(seed.astype(jnp.int32).astype(jnp.uint32))
+            + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x632BE59B))
+
+
 def _block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal, use_segments,
                 block_q, block_k):
     """Elementwise (block_q, block_k) mask, built ONCE per grid step and shared
@@ -346,7 +385,7 @@ def _block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal, use_segments,
 
 def _fwd_kernel(
     # scalar prefetch
-    iq_of, j_of, last_of, kvblk, run_f, mask_f,
+    iq_of, j_of, last_of, kvblk, run_f, mask_f, dropseed,
     # inputs
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
     # outputs
@@ -354,10 +393,11 @@ def _fwd_kernel(
     # scratch
     acc_sc, m_sc, l_sc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
-    use_segments: bool, q_per_kv: int, gk: int,
+    use_segments: bool, q_per_kv: int, gk: int, dropout_rate: float = 0.0,
 ):
     t = pl.program_id(2)
     b = pl.program_id(0)
+    hg = pl.program_id(1)
     R = q_per_kv * block_q  # q rows sharing one kv head, concatenated
 
     @pl.when(j_of[t] == 0)
@@ -384,7 +424,19 @@ def _fwd_kernel(
         correction = jnp.exp2(m_prev - m_new)
         l_new = l_sc[rows, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
         v = v_ref[0, g, :, :]
-        pv = jax.lax.dot_general(p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p_v = p
+        if dropout_rate > 0.0:
+            # dropout applies to the normalized probs; since normalization by
+            # l happens at finalize and the mask is multiplicative, dropping
+            # the unnormalized p in the pv accumulation is equivalent.  l (the
+            # softmax denominator) sums the UNdropped p — torch semantics:
+            # dropout(softmax(s)) @ v.
+            drop = _dropout_scale(R, block_q, block_k, q_start, k_start,
+                                  (hg * gk + g) * q_per_kv,
+                                  _dropout_base(dropseed[0], b), dropout_rate,
+                                  q_per_row_block=q_per_kv)
+            p_v = p * drop
+        pv = jax.lax.dot_general(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
         acc_sc[rows, :] = acc_sc[rows, :] * correction + pv
         m_sc[rows, :] = jnp.broadcast_to(m_new, (R, m_sc.shape[1]))
@@ -431,7 +483,8 @@ def _fwd_kernel(
 
 
 def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-                    max_segment_len, interpret, cross_kv=False):
+                    max_segment_len, interpret, cross_kv=False,
+                    dropout_rate=0.0, drop_seed=None):
     """q: (B, Hq, S, D); k/v: (B, Hkv, Sk, D).  ``cross_kv``: q and kv ids
     come from DIFFERENT ring chunks — segment windows are meaningless (a q
     segment may continue anywhere in the kv chunk), so only the elementwise
@@ -459,18 +512,21 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 
     gk = _pick_kv_group(Hkv, q_per_kv, block_q, block_k, D)
     G = gk * q_per_kv
+    if drop_seed is None:
+        drop_seed = jnp.zeros((1,), jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk)
+        block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk,
+        dropout_rate=float(dropout_rate))
 
-    def kv_idx(b, hg, t, iq_of, j_of, last_of, kvblk, run_f, mask_f):
-        return (b, hg, kvblk[b, t], 0)
+    def kv_idx(b, hg, t, *s):
+        return (b, hg, s[3][b, t], 0)
 
     def q_idx(b, hg, t, *s):
         return (b, hg, s[0][t], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=7,
         grid=(B, Hq // G, T),
         in_specs=[
             pl.BlockSpec((1, block_q, LANES),
@@ -500,7 +556,8 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32),
         ],
         interpret=interpret,
-    )(iq_of, j_of, last_of, kvblk, run_f, mask_f, q_seg_b, kv_seg_b, q, k, v)
+    )(iq_of, j_of, last_of, kvblk, run_f, mask_f, drop_seed,
+      q_seg_b, kv_seg_b, q, k, v)
     return out, lse
 
 
@@ -508,12 +565,13 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 
 
 def _bwd_kernel(
-    ik_of, j_of, last_of, qblk, run_f, mask_f,
+    ik_of, j_of, last_of, qblk, run_f, mask_f, dropseed,
     q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     dq_ref, dk_ref, dv_ref,
     dq_sc, dk_sc, dv_sc,
     *, scale: float, causal: bool, block_q: int, block_k: int,
     use_segments: bool, q_per_kv: int, gk: int, n_steps: int,
+    dropout_rate: float = 0.0, qpk_full: int = 0, head_c0: int = 0,
 ):
     """Fused flash backward: dq, dk and dv in ONE kernel over the kv-major
     (ik -> q window) schedule, so s/p/dp are computed once per visited block
@@ -526,6 +584,7 @@ def _bwd_kernel(
     materializes (nk, B, H, S, D) partials and reduces them outside)."""
     t = pl.program_id(2)
     b = pl.program_id(0)
+    hg = pl.program_id(1)
     R = q_per_kv * block_q  # the whole GQA group's q rows, concatenated
 
     @pl.when(t == 0)
@@ -573,6 +632,19 @@ def _bwd_kernel(
             p = jnp.exp2(s_ - lse)
             if needs_mask:
                 p = jnp.where(mask, p, 0.0)
+            if dropout_rate > 0.0:
+                # regenerate the forward's mask (same counter hash of global
+                # (row, col, head)).  With D = dropout(P): dv = D^T do and
+                # dL/dP = (do v^T) * mask; delta = rowsum(do*out) already
+                # equals sum_j dL/dP_j P_j, so ds = p * (dp*mask - delta).
+                h_glob = (hg * gk + g) * qpk_full + head_c0 + h
+                drop = _dropout_scale(block_q, block_q, block_k, q_start,
+                                      k_start, h_glob,
+                                      _dropout_base(dropseed[0], b),
+                                      dropout_rate)
+                pb = (p * drop).astype(do_ref.dtype)
+                ds = (p * (dp * drop - delta)).astype(q_ref.dtype)
+                return pb, ds
             # ds stays UNSCALED on the hot (bq, bk) path — the softmax scale
             # is applied once to the accumulated dq/dk stripes at finalize
             ds = (p * (dp - delta)).astype(q_ref.dtype)
@@ -633,8 +705,11 @@ def _bwd_kernel(
 
 
 def _splash_backward(res, g, *, scale, causal, block_q, block_k,
-                     max_segment_len, interpret, dlse=None, cross_kv=False):
-    q, k, v, q_seg, kv_seg, out, lse = res
+                     max_segment_len, interpret, dlse=None, cross_kv=False,
+                     dropout_rate=0.0):
+    q, k, v, q_seg, kv_seg, drop_seed, out, lse = res
+    if drop_seed is None:
+        drop_seed = jnp.zeros((1,), jnp.int32)
     do = g
     B, Hq, S, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
@@ -668,7 +743,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                                          block_q, block_k, causal, use_segments, nq, nk)
     Tk = len(ik_of)
 
-    def run(q_c, do_c, lse_c, delta_c, qpk_c, gk):
+    def run(q_c, do_c, lse_c, delta_c, qpk_c, gk, head_c0=0):
         """One fused-bwd pallas call over a q-head SUBSET (qpk_c heads per kv
         head).  dk/dv are additive over q-head subsets, so wide GQA groups /
         long sequences whose f32 dq stripe would not fit VMEM are split into
@@ -685,7 +760,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
             return (b, hg, s[3][b, t], 0)
 
         bwd_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=6,
+            num_scalar_prefetch=7,
             grid=(B, Hkv // gk, Tk),
             in_specs=[
                 pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
@@ -711,7 +786,9 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         return pl.pallas_call(
             functools.partial(_bwd_kernel, scale=scale, causal=causal, block_q=block_q,
                               block_k=block_k, use_segments=use_segments,
-                              q_per_kv=qpk_c, gk=gk, n_steps=Tk),
+                              q_per_kv=qpk_c, gk=gk, n_steps=Tk,
+                              dropout_rate=float(dropout_rate),
+                              qpk_full=q_per_kv, head_c0=head_c0),
             grid_spec=bwd_spec,
             compiler_params=_compiler_params(interpret),
             out_shape=[
@@ -720,7 +797,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                 jax.ShapeDtypeStruct((B, Hkv, D, Sk), v.dtype),
             ],
             interpret=interpret,
-        )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f,
+        )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f, drop_seed,
           q_seg_b, kv_seg_b, q_c, k, v, do_c, lse_c, delta_c)
 
     gk, q_chunk = _pick_bwd_partition(Hkv, q_per_kv, S, block_q, block_k, D)
@@ -738,31 +815,33 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
             c1 = c0 + q_chunk
             sel = lambda a: a[:, :, c0:c1].reshape(B, Hkv * q_chunk, *a.shape[3:])
             dq_c, dkT_c, dvT_c = run(sel(qg), sel(dog), sel(lseg), sel(deltag),
-                                     q_chunk, 1)
+                                     q_chunk, 1, head_c0=c0)
             dq_parts.append(dq_c.reshape(B, Hkv, q_chunk, S, D))
             dkT = dkT_c if dkT is None else dkT + dkT_c
             dvT = dvT_c if dvT is None else dvT + dvT_c
         dq = jnp.concatenate(dq_parts, axis=2).reshape(B, Hq, S, D)
     dk = dkT.transpose(0, 1, 3, 2)
     dv = dvT.transpose(0, 1, 3, 2)
-    return dq, dk, dv, None, None
+    return dq, dk, dv, None, None, None
 
 
 # --------------------------------------------------------------- public api
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
-def _splash(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-            max_segment_len, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _splash(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q, block_k,
+            max_segment_len, interpret, dropout_rate):
     out, _ = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
-                             block_k, max_segment_len, interpret)
+                             block_k, max_segment_len, interpret,
+                             dropout_rate=dropout_rate, drop_seed=drop_seed)
     return out
 
 
-def _splash_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-                max_segment_len, interpret):
+def _splash_fwd(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q, block_k,
+                max_segment_len, interpret, dropout_rate):
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
-                               block_k, max_segment_len, interpret)
+                               block_k, max_segment_len, interpret,
+                               dropout_rate=dropout_rate, drop_seed=drop_seed)
     # under jax.checkpoint with save_only_these_names(("flash_out","flash_lse")),
     # these two residuals survive remat and the backward never re-runs the
     # forward kernel (q/k/v are rebuilt by the block's cheap matmul recompute)
@@ -770,13 +849,14 @@ def _splash_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 
     out = checkpoint_name(out, "flash_out")
     lse = checkpoint_name(lse, "flash_lse")
-    return out, (q, k, v, q_seg, kv_seg, out, lse)
+    return out, (q, k, v, q_seg, kv_seg, drop_seed, out, lse)
 
 
-def _splash_bwd(scale, causal, block_q, block_k, max_segment_len, interpret, res, g):
+def _splash_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,
+                dropout_rate, res, g):
     return _splash_backward(res, g, scale=scale, causal=causal, block_q=block_q,
                             block_k=block_k, max_segment_len=max_segment_len,
-                            interpret=interpret)
+                            interpret=interpret, dropout_rate=dropout_rate)
 
 
 _splash.defvjp(_splash_fwd, _splash_bwd)
@@ -809,7 +889,7 @@ def _splash_lse_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
                     max_segment_len, interpret, cross_kv):
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
                                block_k, max_segment_len, interpret, cross_kv)
-    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, out, lse)
+    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, None, out, lse)
 
 
 def _splash_lse_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,
@@ -817,7 +897,7 @@ def _splash_lse_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,
     do, dlse = g
     return _splash_backward(res, do, scale=scale, causal=causal, block_q=block_q,
                             block_k=block_k, max_segment_len=max_segment_len,
-                            interpret=interpret, dlse=dlse, cross_kv=cross_kv)
+                            interpret=interpret, dlse=dlse, cross_kv=cross_kv)[:5]
 
 
 _splash_lse.defvjp(_splash_lse_fwd, _splash_lse_bwd)
@@ -869,6 +949,8 @@ def splash_attention(
     block_k: int = _DEFAULT_BK,
     max_segment_len: Optional[int] = None,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ) -> jax.Array:
     """q: (B, S, Hq, D); k/v: (B, Sk, Hkv, D); segment_ids: (B, S) int32.
 
@@ -900,10 +982,18 @@ def splash_attention(
                 "splash_attention: no sublane-aligned block divides seq lens "
                 "%s — falling back to the dense jnp reference path", key)
         return attention_reference(q, k, v, segment_ids=segment_ids,
-                                   softmax_scale=scale, causal=causal)
+                                   softmax_scale=scale, causal=causal,
+                                   dropout_rate=dropout_rate,
+                                   dropout_seed=dropout_seed)
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = _splash(qt, kt, vt, segment_ids, segment_ids, scale, causal,
-                  block_q, block_k, max_segment_len, interpret)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "attention dropout needs dropout_seed"
+        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+    else:
+        seed_arr = jnp.zeros((1,), jnp.int32)
+    out = _splash(qt, kt, vt, segment_ids, segment_ids, seed_arr, scale, causal,
+                  block_q, block_k, max_segment_len, interpret,
+                  float(dropout_rate))
     return out.transpose(0, 2, 1, 3)

@@ -131,9 +131,14 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
+    attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
+    drop_seed = (jax.random.bits(jax.random.fold_in(rng, 7),
+                                 dtype=jnp.uint32).astype(jnp.int32)
+                 if attn_drop > 0.0 else None)
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                           softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
-                          max_segment_len=cfg.max_segment_len)
+                          max_segment_len=cfg.max_segment_len,
+                          dropout_rate=attn_drop, dropout_seed=drop_seed)
     ctx = ctx.reshape(B, S, -1)
     # row-parallel out_proj: partial matmul + psum (mtp) or reduce-scatter over
     # the sequence (msp); bias added once after the reduction
@@ -311,9 +316,14 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         q = jax.lax.all_to_all(q, TP, split_axis=2, concat_axis=1, tiled=True)
         k = jax.lax.all_to_all(k, TP, split_axis=2, concat_axis=1, tiled=True)
         v = jax.lax.all_to_all(v, TP, split_axis=2, concat_axis=1, tiled=True)
+        attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
+        drop_seed = (jax.random.bits(jax.random.fold_in(rng, 7),
+                                     dtype=jnp.uint32).astype(jnp.int32)
+                     if attn_drop > 0.0 else None)
         ctx = flash_attention(q, k, v, segment_ids=segment_ids_full,
                               softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
-                              max_segment_len=cfg.max_segment_len)
+                              max_segment_len=cfg.max_segment_len,
+                              dropout_rate=attn_drop, dropout_seed=drop_seed)
         ctx = jax.lax.all_to_all(ctx, TP, split_axis=1, concat_axis=2, tiled=True)
     ctx = ctx.reshape(B, S_loc, -1)
     attn_out = _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))

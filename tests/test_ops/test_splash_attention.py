@@ -231,3 +231,122 @@ def test_backward_chunked_by_vmem_budget(monkeypatch):
     g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(g_s, g_r, "qkv"):
         np.testing.assert_allclose(a, b, rtol=5e-5, atol=5e-5, err_msg=f"d{name}")
+
+
+# ------------------------------------------------------------ attention dropout
+
+
+def _aligned_segments(B, S, seg_len):
+    n = S // seg_len
+    seg = np.repeat(np.arange(1, n + 1, dtype=np.int32), seg_len)
+    return jnp.asarray(np.tile(seg, (B, 1)))
+
+
+def _recover_dropped_probs(B, S, Hq, seg_len, rate, seed, causal=True):
+    """With 128-aligned segments and v = tiled identity, each q row attends
+    only inside its own 128-token segment, so out rows ARE the dropped
+    probability rows D = dropout(softmax(s)) — recoverable exactly."""
+    D = seg_len  # = LANES so the identity trick is exact
+    q = _rand((B, S, Hq, D), 3)
+    k = _rand((B, S, Hq, D), 4)
+    v = jnp.asarray(np.tile(np.eye(D, dtype=np.float32), (B, S // D, 1)).reshape(B, S, 1, D))
+    v = jnp.broadcast_to(v, (B, S, Hq, D))
+    seg = _aligned_segments(B, S, seg_len)
+    out = splash_attention(q, k, v, segment_ids=seg, causal=causal,
+                           block_q=128, block_k=128, max_segment_len=seg_len,
+                           interpret=True, dropout_rate=rate,
+                           dropout_seed=jnp.asarray(seed, jnp.int32))
+    ref = attention_reference(q, k, v, segment_ids=seg, causal=causal)
+    return q, k, v, seg, np.asarray(out, np.float64), np.asarray(ref, np.float64)
+
+
+def test_attention_dropout_zeroes_probs_and_scales():
+    """Dropout entries are either 0 or ref/(1-rate); the keep fraction matches
+    the rate; the mask is deterministic in the seed and varies across seeds."""
+    B, S, Hq, seg_len, rate = 1, 512, 2, 128, 0.4
+    q, k, v, seg, out, ref = _recover_dropped_probs(B, S, Hq, seg_len, rate, 7)
+    scaled = ref / (1.0 - rate)
+    # rows of `out` are dropped prob rows: each entry ~0 or ~scaled
+    is_zero = np.abs(out) < 1e-6
+    is_kept = np.abs(out - scaled) < 1e-3 * np.maximum(1.0, np.abs(scaled))
+    assert np.all(is_zero | is_kept)
+    # keep fraction over entries with non-negligible prob mass
+    sig = np.abs(scaled) > 1e-4
+    keep_frac = np.mean(is_kept[sig])
+    assert abs(keep_frac - (1 - rate)) < 0.03, keep_frac
+    # deterministic per seed; different seed -> different mask
+    _, _, _, _, out2, _ = _recover_dropped_probs(B, S, Hq, seg_len, rate, 7)
+    np.testing.assert_array_equal(out, out2)
+    _, _, _, _, out3, _ = _recover_dropped_probs(B, S, Hq, seg_len, rate, 8)
+    assert not np.array_equal(out, out3)
+
+
+def test_attention_dropout_grads_match_masked_reference():
+    """Backward regenerates the forward's mask: kernel grads must equal jnp
+    grads computed with the RECOVERED mask held fixed (flash-attn dropout
+    semantics).  GQA + a forced q-head chunk exercise the global-head mask
+    indexing across chunked backward calls."""
+    import os
+
+    B, S, Hq, Hkv, seg_len, rate, seed = 1, 256, 4, 2, 128, 0.3, 11
+    D = seg_len
+    q = _rand((B, S, Hq, D), 5)
+    k = _rand((B, S, Hkv, D), 6)
+    v = jnp.asarray(np.tile(np.eye(D, dtype=np.float32), (B, S // D, 1)).reshape(B, S, 1, D))
+    v = jnp.broadcast_to(v, (B, S, Hkv, D))
+    seg = _aligned_segments(B, S, seg_len)
+    kw = dict(segment_ids=seg, causal=True, block_q=128, block_k=128,
+              max_segment_len=seg_len, interpret=True)
+
+    out = splash_attention(q, k, v, dropout_rate=rate,
+                           dropout_seed=jnp.asarray(seed, jnp.int32), **kw)
+    ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    mask = (np.abs(np.asarray(out, np.float64)) > 1e-6) & (
+        np.abs(np.asarray(ref, np.float64)) > 1e-9)
+    # mask recovered in (B, S, Hq, Skv-within-segment) identity coordinates ->
+    # rebuild the full (B, Hq, S, Skv) keep mask
+    keep = np.zeros((B, Hq, S, S), bool)
+    for blk in range(S // seg_len):
+        rows = slice(blk * seg_len, (blk + 1) * seg_len)
+        keep[:, :, rows, rows] = np.transpose(mask[:, rows], (0, 2, 1, 3))
+    keep_j = jnp.asarray(keep)
+
+    def loss_kernel(q, k, v):
+        o = splash_attention(q, k, v, dropout_rate=rate,
+                             dropout_seed=jnp.asarray(seed, jnp.int32), **kw)
+        return jnp.sum(o * jnp.cos(o))
+
+    def loss_masked_ref(q, k, v):
+        from internevo_tpu.ops.attention import _repeat_kv
+
+        kk = _repeat_kv(k, Hq // Hkv)
+        vv = _repeat_kv(v, Hq // Hkv)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, kk,
+                            preferred_element_type=jnp.float32) * (D ** -0.5)
+        cmask = jnp.tril(jnp.ones((S, S), bool))[None, None]
+        smask = (seg[:, None, :, None] == seg[:, None, None, :])
+        logits = jnp.where(cmask & smask, logits, -1e30)
+        probs = jax.nn.softmax(logits, axis=-1)
+        probs = jnp.where(keep_j, probs / (1 - rate), 0.0)
+        o = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(vv.dtype), vv)
+        return jnp.sum(o * jnp.cos(o))
+
+    g_k = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_masked_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_k, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4, err_msg=f"d{name}")
+
+    # chunked backward (tiny VMEM budget) must reproduce the same grads
+    os.environ["IEVO_FLASH_VMEM_MB_BWD"] = "0"
+    try:
+        from internevo_tpu.ops.pallas import splash_attention as sa
+
+        gk, qc = sa._pick_bwd_partition(Hkv, Hq // Hkv, S, 128, 128, D)
+        assert (gk, qc) == (1, 1), (gk, qc)
+        g_c = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+    finally:
+        del os.environ["IEVO_FLASH_VMEM_MB_BWD"]
+    for a, b, name in zip(g_c, g_k, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6, err_msg=f"d{name} chunked")

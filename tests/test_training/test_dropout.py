@@ -109,9 +109,28 @@ def test_eval_ignores_dropout():
     assert evals[0] == pytest.approx(evals[1], rel=1e-6), evals
 
 
-def test_attn_dropout_rejected():
+def test_attn_dropout_active_and_deterministic():
+    """attn_drop_rate>0 changes the loss curve (the mask actually applies) and
+    the counter-hash mask is reproducible run to run (reference flash-attn
+    dropout_p, ``modules/multi_head_attention.py``)."""
+    base, _ = run_training(demo_config(), steps=3)
+    dropped, _ = run_training(demo_config(model=dict(attn_drop_rate=0.3)), steps=3)
+    again, _ = run_training(demo_config(model=dict(attn_drop_rate=0.3)), steps=3)
+    # at random init the CE loss is ~log V regardless of small logit
+    # perturbations, so the signal is exact inequality (training is otherwise
+    # bit-reproducible — see the identical `again` run), not a tolerance
+    assert not np.array_equal(base, dropped), (base, dropped)
+    np.testing.assert_allclose(dropped, again, rtol=0, atol=0)
+
+
+def test_attn_dropout_rejected_for_ring_attention():
+    """rsp splits kv across ring chunks; the dropout counter hash is not
+    plumbed through the ring legs — fail loudly (launch guard)."""
+    par = dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+               pipeline=dict(size=1), weight=dict(size=1))
     with pytest.raises(NotImplementedError):
-        run_training(demo_config(model=dict(attn_drop_rate=0.1)), steps=1)
+        run_training(demo_config(model=dict(attn_drop_rate=0.1), parallel=par),
+                     steps=1)
 
 
 def test_dropout_pp2_matches_pp1():
