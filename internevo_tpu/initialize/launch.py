@@ -74,16 +74,12 @@ def args_sanity_check() -> None:
     # LOGICAL element index, so tp/sp shards draw decorrelated bits and the
     # loss is partition-invariant (stronger than the reference's per-rank
     # streams, which only decorrelate).  The manual pipeline threads a
-    # (step, micro, layer)-folded rng (parallel/pipeline._pdrop).  The splash
-    # kernel regenerates attention-probability dropout masks from a counter
-    # hash (reference flash-attn attn_drop); only ring attention (rsp) lacks
-    # the plumbing — fail loudly there.
+    # (step, micro, layer)-folded rng (parallel/pipeline._pdrop).
+    # Attention-probability dropout (reference flash-attn attn_drop) runs on
+    # EVERY topology: the splash kernel, the dense fallback, and the ring
+    # (rsp) legs all regenerate the same counter-hash mask of global
+    # coordinates (ops/pallas/splash_attention._dropout_scale) — no guard.
     model_cfg = cfg.get("model", {})
-    if (float(model_cfg.get("attn_drop_rate", 0.0) or 0.0) > 0.0
-            and parallel.tensor.mode == "rsp"):
-        raise NotImplementedError(
-            "attention-probability dropout is not implemented for ring "
-            "attention (rsp); use isp/msp/fsp/mtp or set attn_drop_rate=0")
     # MoE x pipeline composition (reference pipelines MoE with accum_moe_loss,
     # pipeline_scheduler.py:307-320): the manual 1F1B stage function runs the
     # GShard ffn with an explicit expert a2a — supported for tensor mode mtp;

@@ -309,6 +309,9 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
 
+    attn_drop = cfg.attn_drop_rate if (train and attn_rng is not None) else 0.0
+    drop_seed = (jax.random.bits(attn_rng, dtype=jnp.uint32).astype(jnp.int32)
+                 if attn_drop > 0.0 else None)
     if sh.tp_mode == "rsp" and sh.mesh is not None and sh.mesh.shape["tp"] > 1:
         # ring sequence parallel: attention runs on sequence-sharded chunks with
         # kv rotating around the tp ring (parallel/ring_attention.py) — no
@@ -319,17 +322,22 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
 
         from ..parallel.ring_attention import ring_attention
 
-        ring = jax.shard_map(
-            _partial(ring_attention, axis_name="tp",
-                     softmax_scale=1.0 / math.sqrt(cfg.head_dim),
-                     max_segment_len=cfg.max_segment_len),
-            mesh=sh.mesh,
-            in_specs=(_P(None, "tp"), _P(None, "tp"), _P(None, "tp"), _P(None, "tp")),
-            out_specs=_P(None, "tp"),
-            axis_names={"tp"},
-            check_vma=False,
-        )
-        ctx = ring(q, k, v, segment_ids)
+        ring_fn = _partial(ring_attention, axis_name="tp",
+                           softmax_scale=1.0 / math.sqrt(cfg.head_dim),
+                           max_segment_len=cfg.max_segment_len,
+                           dropout_rate=attn_drop)
+        chunk_spec = (_P(None, "tp"),) * 4
+        if attn_drop > 0.0:
+            ring = jax.shard_map(
+                lambda q, k, v, seg, seed: ring_fn(q, k, v, seg, dropout_seed=seed),
+                mesh=sh.mesh, in_specs=chunk_spec + (_P(),),
+                out_specs=_P(None, "tp"), axis_names={"tp"}, check_vma=False)
+            ctx = ring(q, k, v, segment_ids, drop_seed)
+        else:
+            ring = jax.shard_map(
+                ring_fn, mesh=sh.mesh, in_specs=chunk_spec,
+                out_specs=_P(None, "tp"), axis_names={"tp"}, check_vma=False)
+            ctx = ring(q, k, v, segment_ids)
     else:
         # isp/Ulysses: reshard seq-sharded -> head-sharded (GSPMD emits all-to-all,
         # the reference's DistributedAttention `_SeqAllToAll`, multi_head_attention.py:27-135)
@@ -337,9 +345,6 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
         k = sh.constrain(k, "batch", None, "act_heads", None)
         v = sh.constrain(v, "batch", None, "act_heads", None)
 
-        attn_drop = cfg.attn_drop_rate if (train and attn_rng is not None) else 0.0
-        drop_seed = (jax.random.bits(attn_rng, dtype=jnp.uint32).astype(jnp.int32)
-                     if attn_drop > 0.0 else None)
         ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                               softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
                               max_segment_len=cfg.max_segment_len,

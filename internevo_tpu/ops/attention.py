@@ -65,10 +65,11 @@ def attention_reference(
     """q: (B, S, Hq, D); k/v: (B, S, Hkv, D); segment_ids: (B, S) int32.
 
     fp32 softmax like flash-attn; returns q.dtype.  ``dropout_rate`` applies
-    torch-style dropout to the softmax probabilities (jax.random draw from
-    ``dropout_seed`` — a DIFFERENT mask than the splash kernel's counter hash,
-    like the reference's torch-vs-flash dropout streams also differ).
-    """
+    torch-style dropout to the softmax probabilities using the SAME counter
+    hash as the splash kernel (``pallas/splash_attention.dropout_mask_dense``)
+    so the dense fallback and the kernel drop the identical model.
+    ``dropout_seed``: scalar seed, or the (5,) [seed, row0, col0, head0,
+    batch0] global-offset vector for sharded callers."""
     b, s, hq, d = q.shape
     hkv = k.shape[2]
     k = _repeat_kv(k, hq // hkv)
@@ -87,10 +88,9 @@ def attention_reference(
     logits = jnp.where(mask, logits, -1e30)
     probs = jax.nn.softmax(logits, axis=-1)
     if dropout_rate > 0.0:
-        keep = jax.random.bernoulli(
-            jax.random.key(jnp.asarray(dropout_seed, jnp.int32).reshape(()).astype(jnp.uint32)),
-            1.0 - dropout_rate, probs.shape)
-        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+        from .pallas.splash_attention import dropout_mask_dense
+
+        probs = probs * dropout_mask_dense(dropout_rate, dropout_seed, b, hq, s, s)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out.astype(q.dtype)
 
@@ -103,12 +103,17 @@ def attention_reference_with_lse(
     kv_segment_ids: Optional[jax.Array] = None,
     softmax_scale: Optional[float] = None,
     causal: bool = True,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """jnp oracle for ``splash_attention_with_lse``: (out (B,S,Hq,D), lse
     (B,Hq,S) fp32).  kv may be a DIFFERENT chunk than q (ring attention's
     rotated kv): ``kv_segment_ids`` masks cross-segment pairs against the
     visiting chunk's ids; fully-masked q rows produce out=0, lse=-inf (the
-    identity of the log-sum-exp merge)."""
+    identity of the log-sum-exp merge).  Dropout masks the normalized probs
+    while lse stays over the UNdropped ones (kernel semantics — the lse merge
+    then reproduces global dropout exactly); ``dropout_seed`` as in
+    ``attention_reference``."""
     b, s, hq, d = q.shape
     hkv, skv = k.shape[2], k.shape[1]
     k = _repeat_kv(k, hq // hkv)
@@ -133,6 +138,10 @@ def attention_reference_with_lse(
     denom = jnp.sum(unnorm, axis=-1)                 # (b, h, q)
     lse = jnp.where(empty, -jnp.inf, safe_m + jnp.log(jnp.maximum(denom, 1e-37)))
     probs = unnorm / jnp.maximum(denom, 1e-37)[..., None]
+    if dropout_rate > 0.0:
+        from .pallas.splash_attention import dropout_mask_dense
+
+        probs = probs * dropout_mask_dense(dropout_rate, dropout_seed, b, hq, s, skv)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
     return out.astype(q.dtype), lse
 
@@ -178,7 +187,9 @@ def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_le
     kernel = partial(splash_attention, softmax_scale=softmax_scale, causal=causal,
                      max_segment_len=max_segment_len, dropout_rate=dropout_rate)
     if dropout_rate > 0.0:
-        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+        from .pallas.splash_attention import _norm_seed
+
+        seed_arr = _norm_seed(dropout_seed)
     else:
         seed_arr = None
 
@@ -217,14 +228,29 @@ def _pallas_dispatch(q, k, v, segment_ids, softmax_scale, causal, max_segment_le
     # must claim every mesh axis (size-1 axes included)
     axis_names = set(mesh.axis_names)
     if seed_arr is None:
-        seed_arr = jnp.zeros((1,), jnp.int32)  # uniform arity for the island
+        seed_arr = jnp.zeros((5,), jnp.int32)  # uniform arity for the island
+
+    def island(q, k, v, seg, seed):
+        if dropout_rate > 0.0:
+            # fold this shard's GLOBAL (head, batch) window offsets into the
+            # seed vector: the counter-hash mask then matches what an
+            # unsharded run draws (topology-invariant attention dropout)
+            if head_ax is not None:
+                seed = seed.at[3].add(jax.lax.axis_index(head_ax) * q.shape[2])
+            if batch_axes:
+                idx = jnp.int32(0)
+                for a in batch_axes:  # first spec axis is outermost in layout
+                    idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+                seed = seed.at[4].add(idx * q.shape[0])
+        return direct(q, k, v, seg, seed)
+
     if segment_ids is None:
-        sm = jax.shard_map(lambda q, k, v, seed: direct(q, k, v, None, seed),
+        sm = jax.shard_map(lambda q, k, v, seed: island(q, k, v, None, seed),
                            mesh=mesh,
                            in_specs=(qkv_spec,) * 3 + (P(),), out_specs=qkv_spec,
                            axis_names=axis_names, check_vma=False)
         return sm(q, k, v, seed_arr)
-    sm = jax.shard_map(direct, mesh=mesh,
+    sm = jax.shard_map(island, mesh=mesh,
                        in_specs=(qkv_spec, qkv_spec, qkv_spec, seg_spec, P()),
                        out_specs=qkv_spec, axis_names=axis_names, check_vma=False)
     return sm(q, k, v, segment_ids, seed_arr)

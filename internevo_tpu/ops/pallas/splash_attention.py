@@ -329,6 +329,28 @@ def _pick_bwd_partition(Hkv: int, q_per_kv: int, S: int, block_q: int,
 # ------------------------------------------------------------------ forward
 
 
+def _fmix32(x):
+    """murmur3 finalizer: u32 -> decorrelated u32, pure VPU ops."""
+    x ^= x >> jnp.uint32(16)
+    x *= jnp.uint32(0x85EBCA6B)
+    x ^= x >> jnp.uint32(13)
+    x *= jnp.uint32(0xC2B2AE35)
+    x ^= x >> jnp.uint32(16)
+    return x
+
+
+def _hash_rc(row, col, head, base):
+    """The dropout hash of GLOBAL (q row, kv col, q head) coordinates (u32)."""
+    return _fmix32(row * jnp.uint32(0x9E3779B1)
+                   ^ col * jnp.uint32(0x85EBCA77)
+                   ^ head * jnp.uint32(0xC2B2AE3D)
+                   ^ base)
+
+
+def _keep_thresh(rate: float):
+    return jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
+
+
 def _dropout_scale(n_rows, block_q, block_k, q_start, k_start, head0, base,
                    rate: float, q_per_row_block: int = 1):
     """Deterministic attention-probability dropout mask (x 1/keep scale) for a
@@ -339,7 +361,11 @@ def _dropout_scale(n_rows, block_q, block_k, q_start, k_start, head0, base,
     global q head, seed/batch base) — pure u32 VPU ops, so the SAME mask is
     regenerated in forward and backward (flash-attn's dropout recipe,
     ``multi_head_attention.py`` dropout_p) and the kernel stays testable in
-    interpret mode (pltpu.prng_* has no CPU lowering)."""
+    interpret mode (pltpu.prng_* has no CPU lowering).  Because the hash is
+    keyed on GLOBAL coordinates (callers fold in shard offsets from the seed
+    vector — see ``_norm_seed``), the mask is invariant to how batch/heads/
+    sequence are partitioned — the same property the residual-dropout streams
+    get from partitionable threefry."""
     li = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block_k), 0)
     col = jax.lax.broadcasted_iota(jnp.uint32, (n_rows, block_k), 1)
     col = col + jnp.uint32(k_start)
@@ -349,23 +375,48 @@ def _dropout_scale(n_rows, block_q, block_k, q_start, k_start, head0, base,
     else:
         row = li + jnp.uint32(q_start)
         head = jnp.uint32(head0)
-    x = (row * jnp.uint32(0x9E3779B1)
-         ^ col * jnp.uint32(0x85EBCA77)
-         ^ head * jnp.uint32(0xC2B2AE3D)
-         ^ base)
-    x ^= x >> jnp.uint32(16)
-    x *= jnp.uint32(0x85EBCA6B)
-    x ^= x >> jnp.uint32(13)
-    x *= jnp.uint32(0xC2B2AE35)
-    x ^= x >> jnp.uint32(16)
-    thresh = jnp.uint32(min(int(rate * 2.0**32), 2**32 - 1))
-    return jnp.where(x >= thresh, jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
+    x = _hash_rc(row, col, head, base)
+    return jnp.where(x >= _keep_thresh(rate),
+                     jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
 
 
 def _dropout_base(seed, b):
-    """Per-(seed, batch) scalar hash base (u32)."""
+    """Per-(seed, global batch index) scalar hash base (u32)."""
     return (jnp.uint32(seed.astype(jnp.int32).astype(jnp.uint32))
             + jnp.uint32(b).astype(jnp.uint32) * jnp.uint32(0x632BE59B))
+
+
+def _norm_seed(dropout_seed):
+    """Normalize a dropout seed to the (5,) i32 vector the kernels prefetch:
+    ``[seed, row0, col0, head0, batch0]`` — the last four are the GLOBAL
+    coordinate offsets of this shard's (q rows, kv cols, q heads, batch)
+    window, so sharded callers (GSPMD island, ring legs, manual-pipeline tp)
+    regenerate exactly the mask an unsharded run would draw.  A bare scalar
+    (or (1,)) seed means offsets 0."""
+    if dropout_seed is None:
+        return jnp.zeros((5,), jnp.int32)
+    arr = jnp.asarray(dropout_seed, jnp.int32).reshape((-1,))
+    if arr.shape[0] == 5:
+        return arr
+    assert arr.shape[0] == 1, f"dropout_seed must be scalar or (5,): {arr.shape}"
+    return jnp.concatenate([arr, jnp.zeros((4,), jnp.int32)])
+
+
+def dropout_mask_dense(rate: float, dropout_seed, B: int, H: int, S: int, Sk: int):
+    """(B, H, S, Sk) f32 keep-and-scale mask, BIT-IDENTICAL to the splash
+    kernel's in-kernel draw (same ``_hash_rc`` counter hash over global
+    coordinates) — the dense jnp paths (``attention_reference``, the
+    no-aligned-block fallback, ring-attention oracle legs) use this so kernel
+    and fallback produce the same dropped model."""
+    seed = _norm_seed(dropout_seed)
+    row = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, S, 1), 2) + jnp.uint32(seed[1])
+    col = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, Sk), 3) + jnp.uint32(seed[2])
+    head = jax.lax.broadcasted_iota(jnp.uint32, (1, H, 1, 1), 1) + jnp.uint32(seed[3])
+    b = jax.lax.broadcasted_iota(jnp.uint32, (B, 1, 1, 1), 0) + jnp.uint32(seed[4])
+    base = jnp.uint32(seed[0].astype(jnp.uint32)) + b * jnp.uint32(0x632BE59B)
+    x = _hash_rc(row, col, head, base)
+    return jnp.where(x >= _keep_thresh(rate),
+                     jnp.float32(1.0 / (1.0 - rate)), jnp.float32(0.0))
 
 
 def _block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal, use_segments,
@@ -431,10 +482,11 @@ def _fwd_kernel(
             # the unnormalized p in the pv accumulation is equivalent.  l (the
             # softmax denominator) sums the UNdropped p — torch semantics:
             # dropout(softmax(s)) @ v.
-            drop = _dropout_scale(R, block_q, block_k, q_start, k_start,
-                                  (hg * gk + g) * q_per_kv,
-                                  _dropout_base(dropseed[0], b), dropout_rate,
-                                  q_per_row_block=q_per_kv)
+            drop = _dropout_scale(R, block_q, block_k,
+                                  q_start + dropseed[1], k_start + dropseed[2],
+                                  (hg * gk + g) * q_per_kv + dropseed[3],
+                                  _dropout_base(dropseed[0], b + dropseed[4]),
+                                  dropout_rate, q_per_row_block=q_per_kv)
             p_v = p * drop
         pv = jax.lax.dot_general(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -513,7 +565,7 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
     gk = _pick_kv_group(Hkv, q_per_kv, block_q, block_k, D)
     G = gk * q_per_kv
     if drop_seed is None:
-        drop_seed = jnp.zeros((1,), jnp.int32)
+        drop_seed = jnp.zeros((5,), jnp.int32)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk,
@@ -637,10 +689,11 @@ def _bwd_kernel(
                 # (row, col, head)).  With D = dropout(P): dv = D^T do and
                 # dL/dP = (do v^T) * mask; delta = rowsum(do*out) already
                 # equals sum_j dL/dP_j P_j, so ds = p * (dp*mask - delta).
-                h_glob = (hg * gk + g) * qpk_full + head_c0 + h
-                drop = _dropout_scale(block_q, block_q, block_k, q_start,
-                                      k_start, h_glob,
-                                      _dropout_base(dropseed[0], b),
+                h_glob = (hg * gk + g) * qpk_full + head_c0 + h + dropseed[3]
+                drop = _dropout_scale(block_q, block_q, block_k,
+                                      q_start + dropseed[1],
+                                      k_start + dropseed[2], h_glob,
+                                      _dropout_base(dropseed[0], b + dropseed[4]),
                                       dropout_rate)
                 pb = (p * drop).astype(do_ref.dtype)
                 ds = (p * (dp * drop - delta)).astype(q_ref.dtype)
@@ -709,7 +762,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                      dropout_rate=0.0):
     q, k, v, q_seg, kv_seg, drop_seed, out, lse = res
     if drop_seed is None:
-        drop_seed = jnp.zeros((1,), jnp.int32)
+        drop_seed = jnp.zeros((5,), jnp.int32)
     do = g
     B, Hq, S, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
@@ -877,27 +930,30 @@ def _fit_block(S: int, want: int):
     return None
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _splash_lse(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-                max_segment_len, interpret, cross_kv):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12, 13))
+def _splash_lse(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q, block_k,
+                max_segment_len, interpret, cross_kv, dropout_rate):
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
-                               block_k, max_segment_len, interpret, cross_kv)
+                               block_k, max_segment_len, interpret, cross_kv,
+                               dropout_rate=dropout_rate, drop_seed=drop_seed)
     return out, lse[..., 0]
 
 
-def _splash_lse_fwd(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
-                    max_segment_len, interpret, cross_kv):
+def _splash_lse_fwd(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q,
+                    block_k, max_segment_len, interpret, cross_kv, dropout_rate):
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
-                               block_k, max_segment_len, interpret, cross_kv)
-    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, None, out, lse)
+                               block_k, max_segment_len, interpret, cross_kv,
+                               dropout_rate=dropout_rate, drop_seed=drop_seed)
+    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, drop_seed, out, lse)
 
 
 def _splash_lse_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,
-                    cross_kv, res, g):
+                    cross_kv, dropout_rate, res, g):
     do, dlse = g
     return _splash_backward(res, do, scale=scale, causal=causal, block_q=block_q,
                             block_k=block_k, max_segment_len=max_segment_len,
-                            interpret=interpret, dlse=dlse, cross_kv=cross_kv)[:5]
+                            interpret=interpret, dlse=dlse, cross_kv=cross_kv,
+                            dropout_rate=dropout_rate)
 
 
 _splash_lse.defvjp(_splash_lse_fwd, _splash_lse_bwd)
@@ -915,12 +971,20 @@ def splash_attention_with_lse(
     block_k: int = None,
     max_segment_len: Optional[int] = None,
     interpret: Optional[bool] = None,
+    dropout_rate: float = 0.0,
+    dropout_seed: Optional[jax.Array] = None,
 ):
     """Like ``splash_attention`` but returns (out (B,S,Hq,D), lse (B,Hq,S))
     with a differentiable lse — the building block for ring attention, where
     partial chunk results merge by log-sum-exp.  ``kv_segment_ids`` may differ
     from ``segment_ids`` (rotated kv chunks); in that case segment windows are
-    disabled and only the elementwise masks apply."""
+    disabled and only the elementwise masks apply.
+
+    Dropout composes EXACTLY with the lse merge: the kernel masks the pv
+    accumulation while the softmax denominator (and lse) sum the UNdropped
+    probs, so merged legs reproduce dropout(softmax(s_global)) @ v as long as
+    every leg hashes GLOBAL coordinates — pass the (5,) seed vector with this
+    leg's row/col offsets (``_norm_seed``)."""
     B, S, Hq, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D**-0.5
     interpret = _interpret_default() if interpret is None else interpret
@@ -933,8 +997,12 @@ def splash_attention_with_lse(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out, lse = _splash_lse(qt, kt, vt, segment_ids, kv_segment_ids, scale, causal,
-                           block_q, block_k, max_segment_len, interpret, cross)
+    if dropout_rate > 0.0:
+        assert dropout_seed is not None, "attention dropout needs dropout_seed"
+    seed_arr = _norm_seed(dropout_seed)
+    out, lse = _splash_lse(qt, kt, vt, segment_ids, kv_segment_ids, seed_arr,
+                           scale, causal, block_q, block_k, max_segment_len,
+                           interpret, cross, float(dropout_rate))
     return out.transpose(0, 2, 1, 3), lse
 
 
@@ -990,9 +1058,7 @@ def splash_attention(
     vt = v.transpose(0, 2, 1, 3)
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "attention dropout needs dropout_seed"
-        seed_arr = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
-    else:
-        seed_arr = jnp.zeros((1,), jnp.int32)
+    seed_arr = _norm_seed(dropout_seed)
     out = _splash(qt, kt, vt, segment_ids, segment_ids, seed_arr, scale, causal,
                   block_q, block_k, max_segment_len, interpret,
                   float(dropout_rate))

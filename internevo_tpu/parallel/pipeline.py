@@ -85,6 +85,20 @@ def _pdrop(cfg: ModelConfig, h, rng, tag: int):
     return jnp.where(keep, h / (1.0 - cfg.drop_rate), 0).astype(h.dtype)
 
 
+def _attn_drop_seed(attn_drop: float, rng, tp: int, local_q_heads: int):
+    """(5,) attention-dropout seed vector for the manual-pipeline blocks: the
+    scalar stream matches models.base (fold_in(layer_rng, 7)) and the head
+    offset folds this tp rank's GLOBAL q-head window, so the counter-hash mask
+    never repeats across tp ranks and pp>1×tp matches the unsharded draw."""
+    if attn_drop <= 0.0 or rng is None:
+        return None
+    bits = jax.random.bits(jax.random.fold_in(rng, 7),
+                           dtype=jnp.uint32).astype(jnp.int32)
+    zero = jnp.int32(0)
+    h0 = (jax.lax.axis_index(TP) * local_q_heads) if tp > 1 else zero
+    return jnp.stack([bits, zero, zero, jnp.int32(h0), zero])
+
+
 def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_ids,
                   seq_parallel: bool = False, rng=None, ep: int = 1):
     """One pre-norm block with explicit TP collectives.  Returns
@@ -132,9 +146,7 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
     attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
-    drop_seed = (jax.random.bits(jax.random.fold_in(rng, 7),
-                                 dtype=jnp.uint32).astype(jnp.int32)
-                 if attn_drop > 0.0 else None)
+    drop_seed = _attn_drop_seed(attn_drop, rng, tp, q.shape[2])
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
                           softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
                           max_segment_len=cfg.max_segment_len,
@@ -305,21 +317,23 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
     cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
     q = apply_rotary(q, cos, sin)
     k = apply_rotary(k, cos, sin)
+    attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
     if ring:
         from .ring_attention import ring_attention
 
+        ring_seed = (jax.random.bits(jax.random.fold_in(rng, 7),
+                                     dtype=jnp.uint32).astype(jnp.int32)
+                     if attn_drop > 0.0 else None)
         ctx = ring_attention(q, k, v, segment_ids_local, axis_name=TP,
                              softmax_scale=1.0 / math.sqrt(cfg.head_dim),
-                             max_segment_len=cfg.max_segment_len)
+                             max_segment_len=cfg.max_segment_len,
+                             dropout_rate=attn_drop, dropout_seed=ring_seed)
     else:
         # Ulysses all-to-all: (b, S/tp, Hq, D) -> (b, S, Hq/tp, D)
         q = jax.lax.all_to_all(q, TP, split_axis=2, concat_axis=1, tiled=True)
         k = jax.lax.all_to_all(k, TP, split_axis=2, concat_axis=1, tiled=True)
         v = jax.lax.all_to_all(v, TP, split_axis=2, concat_axis=1, tiled=True)
-        attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
-        drop_seed = (jax.random.bits(jax.random.fold_in(rng, 7),
-                                     dtype=jnp.uint32).astype(jnp.int32)
-                     if attn_drop > 0.0 else None)
+        drop_seed = _attn_drop_seed(attn_drop, rng, tp, q.shape[2])
         ctx = flash_attention(q, k, v, segment_ids=segment_ids_full,
                               softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
                               max_segment_len=cfg.max_segment_len,

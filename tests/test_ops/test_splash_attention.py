@@ -350,3 +350,23 @@ def test_attention_dropout_grads_match_masked_reference():
     for a, b, name in zip(g_c, g_k, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6, err_msg=f"d{name} chunked")
+
+
+def test_attention_dropout_kernel_matches_dense_fallback():
+    """The dense jnp path (attention_reference / the no-aligned-block
+    fallback) draws the SAME counter-hash mask as the kernel, so kernel and
+    fallback produce the same dropped model (bit-identical masks, fp-equal
+    outputs).  GQA shapes; offsets zero."""
+    B, S, Hq, Hkv, D = 2, 256, 4, 2, 64
+    q = _rand((B, S, Hq, D), 21)
+    k = _rand((B, S, Hkv, D), 22)
+    v = _rand((B, S, Hkv, D), 23)
+    seg = _aligned_segments(B, S, 128)
+    rate, seed = 0.35, jnp.asarray(9, jnp.int32)
+    out_k = splash_attention(q, k, v, segment_ids=seg, causal=True,
+                             block_q=128, block_k=128, max_segment_len=128,
+                             interpret=True, dropout_rate=rate, dropout_seed=seed)
+    out_d = attention_reference(q, k, v, segment_ids=seg, causal=True,
+                                dropout_rate=rate, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-5)

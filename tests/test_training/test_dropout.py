@@ -123,14 +123,17 @@ def test_attn_dropout_active_and_deterministic():
     np.testing.assert_allclose(dropped, again, rtol=0, atol=0)
 
 
-def test_attn_dropout_rejected_for_ring_attention():
-    """rsp splits kv across ring chunks; the dropout counter hash is not
-    plumbed through the ring legs — fail loudly (launch guard)."""
+def test_attn_dropout_partition_invariance_rsp():
+    """Attention dropout under ring attention (rsp): every ring leg hashes
+    GLOBAL (q row, kv col) coordinates, so the tp=2 rsp loss curve equals the
+    tp=1 curve exactly like the residual-dropout invariance above (the dense
+    oracle path shares the kernel's counter hash)."""
+    cfg_drop = dict(attn_drop_rate=0.25)
+    losses_tp1, _ = run_training(demo_config(model=cfg_drop), steps=3, n_devices=4)
     par = dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
                pipeline=dict(size=1), weight=dict(size=1))
-    with pytest.raises(NotImplementedError):
-        run_training(demo_config(model=dict(attn_drop_rate=0.1), parallel=par),
-                     steps=1)
+    losses_rsp, _ = run_training(demo_config(model=cfg_drop, parallel=par), steps=3)
+    np.testing.assert_allclose(losses_tp1, losses_rsp, rtol=2e-4, atol=2e-5)
 
 
 def test_dropout_pp2_matches_pp1():
