@@ -78,6 +78,7 @@ class ModelConfig:
     norm_type: str = "rmsnorm"
     drop_rate: float = 0.0
     attn_drop_rate: float = 0.0
+    ring_schedule: str = "zigzag"    # rsp: "zigzag" (balanced) | "contiguous"
     use_scaled_init: bool = True
     use_swiglu: bool = True
     rope_base: float = 10000.0
@@ -325,7 +326,7 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
         ring_fn = _partial(ring_attention, axis_name="tp",
                            softmax_scale=1.0 / math.sqrt(cfg.head_dim),
                            max_segment_len=cfg.max_segment_len,
-                           dropout_rate=attn_drop)
+                           dropout_rate=attn_drop, schedule=cfg.ring_schedule)
         chunk_spec = (_P(None, "tp"),) * 4
         if attn_drop > 0.0:
             ring = jax.shard_map(

@@ -327,7 +327,8 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         ctx = ring_attention(q, k, v, segment_ids_local, axis_name=TP,
                              softmax_scale=1.0 / math.sqrt(cfg.head_dim),
                              max_segment_len=cfg.max_segment_len,
-                             dropout_rate=attn_drop, dropout_seed=ring_seed)
+                             dropout_rate=attn_drop, dropout_seed=ring_seed,
+                             schedule=cfg.ring_schedule)
     else:
         # Ulysses all-to-all: (b, S/tp, Hq, D) -> (b, S, Hq/tp, D)
         q = jax.lax.all_to_all(q, TP, split_axis=2, concat_axis=1, tiled=True)

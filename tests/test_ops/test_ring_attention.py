@@ -155,3 +155,41 @@ def test_ring_dropout_grads_match_dense():
     for a, b, name in zip(g_ring, g_ref, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5,
                                    atol=5e-5, err_msg=f"d{name}")
+
+
+def test_ring_zigzag_eight_devices():
+    """Zigzag pairing/permutes at a deeper ring (n=8, 16 half-chunks)."""
+    mesh = _mesh(8)
+    q, k, v, seg = _data(S=512, seed=2)
+    out = _ring_fn(mesh)(q, k, v, seg)
+    ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_ring_zigzag_odd_chunk_falls_back():
+    """An odd local chunk cannot split into half-chunks: the dispatcher falls
+    back to the contiguous schedule (oracle path — odd lengths do not fit the
+    kernel's sublane blocks either way)."""
+    from internevo_tpu.ops.attention import set_use_pallas
+
+    set_use_pallas(False)
+    try:
+        mesh = _mesh(4)
+        B, S, H, D = 1, 132, 2, 32  # S_loc = 33, odd
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, S, H, D), jnp.float32)
+        k = jax.random.normal(ks[1], (B, S, H, D), jnp.float32)
+        v = jax.random.normal(ks[2], (B, S, H, D), jnp.float32)
+        seg = jnp.ones((B, S), jnp.int32)
+
+        def f(q, k, v, s):
+            return ring_attention(q, k, v, s, axis_name="sp", schedule="zigzag")
+
+        out = jax.jit(jax.shard_map(
+            f, mesh=mesh, in_specs=(P(None, "sp"),) * 4,
+            out_specs=P(None, "sp"), check_vma=False))(q, k, v, seg)
+        ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        set_use_pallas(None)
