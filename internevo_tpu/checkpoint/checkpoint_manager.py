@@ -89,9 +89,22 @@ def _active_layout():
 
 
 def try_load_internevo_ckpt(engine, train_state, ckpt_path: str, load_mask: CheckpointLoadMask):
-    """Load an internevo_tpu checkpoint directory into the engine/train_state."""
+    """Load an internevo_tpu checkpoint directory into the engine/train_state.
+    Object-store URIs (``boto3:s3://…`` etc.) are fetched into a local staging
+    dir first — orbax reads posix trees (reference downloads per-rank shards
+    the same way, ``storage_manager.py`` load path)."""
     import orbax.checkpoint as ocp
 
+    from ..utils.storage_manager import StorageManager, get_storage_manager
+
+    backend, rest = StorageManager._parse(ckpt_path)
+    if backend != "local":
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="ievo_ckpt_dl_")
+        ckpt_path = get_storage_manager().download_dir(ckpt_path, staging)
+    else:
+        ckpt_path = rest
     path = Path(ckpt_path).resolve()
     ckptr = ocp.StandardCheckpointer()
     layout = _active_layout()
@@ -185,32 +198,65 @@ class CheckpointManager:
             return
         for c in self._ckptrs:
             c.wait_until_finished()
-        path, step, t0 = self._pending_stamp
+        path, step, t0, remote = self._pending_stamp
         self._pending_stamp = None
         # single-writer stamp: every process barriers on the async writes
         # above, but only process 0 writes the completeness marker — a torn
         # concurrent write could race an auto-resume scan on a shared FS
         if jax.process_index() == 0:
-            with open(os.path.join(path, f"{step}.step"), "w") as f:
-                f.write(str(step))
+            if remote is not None:
+                # upload the staged tree, THEN stamp the store: scanners of
+                # the remote folder only ever see completed checkpoints
+                sm = get_storage_manager()
+                sm.delete_obj(remote)  # replace any previous tree (snapshot slots)
+                sm.upload_dir(path, remote)
+                sm.put_text(remote.rstrip("/") + f"/{step}.step", str(step))
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                with open(os.path.join(path, f"{step}.step"), "w") as f:
+                    f.write(str(step))
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("ckpt_finalized")
         if gpc.is_rank_for_log():
-            logger.info("checkpoint %s finalized (%.2fs since snapshot)", path, time.time() - t0)
+            logger.info("checkpoint %s finalized (%.2fs since snapshot)",
+                        remote or path, time.time() - t0)
+
+    @staticmethod
+    def _staging_dir(uri: str) -> str:
+        """Deterministic local staging dir for a remote checkpoint URI."""
+        import re
+
+        from ..utils.storage_manager import get_storage_manager as _gsm
+
+        safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", uri)
+        return os.path.join(_gsm().tmp_folder, "orbax_stage", safe)
 
     def save_checkpoint(self, path: str, train_state=None, block: bool = True):
         import orbax.checkpoint as ocp
 
+        from ..utils.storage_manager import StorageManager
+
         t0 = time.time()
-        # orbax writes a posix directory tree; URI-prefixed folders route like
-        # StorageManager paths — "local:" strips, object-store prefixes are
-        # rejected loudly (blob-style llm_save/llm_load supports them; a whole
-        # orbax checkpoint does not)
-        if ":" in path.split("/", 1)[0]:
-            backend, rest = path.split(":", 1)
-            if backend != "local":
-                raise NotImplementedError(
-                    f"save_ckpt_folder backend '{backend}:' is not supported for "
-                    "orbax checkpoint trees; use a local/shared-fs path "
-                    "(object-store backends serve the blob llm_save/llm_load API)")
+        # orbax writes a posix directory tree.  "local:" strips; object-store
+        # prefixes (boto3:/volc:/oss2:) write the tree to a LOCAL STAGING dir,
+        # and _finalize_pending_save uploads it through the StorageManager
+        # after the async array writes land, writing the remote ``.step``
+        # stamp LAST (the reference's post-upload completeness flag,
+        # storage_manager.py:1002-1021) — auto-resume scans of the store only
+        # ever see finished checkpoints.
+        backend, rest = StorageManager._parse(path)
+        remote_dest = None
+        if backend != "local":
+            remote_dest = path
+            path = self._staging_dir(path)
+            if jax.process_count() > 1 and gpc.is_rank_for_log():
+                logger.warning(
+                    "object-store checkpoint with %d processes: the staging "
+                    "dir %s must be on a SHARED filesystem (set "
+                    "ckpt.async_upload_tmp_folder)", jax.process_count(), path)
+        else:
             path = rest
         path_p = Path(path)
         self._finalize_pending_save()  # barrier on any previous async save BEFORE deleting
@@ -250,11 +296,11 @@ class CheckpointManager:
         step = (train_state or self.train_state).step_count
         # the ".step" stamp (completeness marker, ref :568-637) is written by
         # _finalize_pending_save once the async array writes land
-        self._pending_stamp = (path, step, t0)
+        self._pending_stamp = (path, step, t0, remote_dest)
         if block:
             self._finalize_pending_save()
         if gpc.is_rank_for_log():
-            logger.info("saved checkpoint to %s in %.2fs%s", path, time.time() - t0,
+            logger.info("saved checkpoint to %s in %.2fs%s", remote_dest or path, time.time() - t0,
                         "" if block else " (arrays finishing async)")
 
     def try_save_checkpoint(self, train_state) -> bool:
@@ -313,11 +359,22 @@ class CheckpointManager:
     # ----------------------------------------------------------------- loading
 
     def query_latest_snapshot_step_local(self) -> Optional[str]:
-        """Scan save folder for the newest '.step'-stamped directory (ref :438-535)."""
-        if not self.save_ckpt_folder or not os.path.isdir(self.save_ckpt_folder):
+        """Scan the save folder for the newest '.step'-stamped directory
+        (ref :438-535).  Object-store folders scan the remote listing; the
+        returned path keeps its URI prefix (the loader downloads it)."""
+        folder = self.save_ckpt_folder
+        if not folder:
+            return None
+        from ..utils.storage_manager import StorageManager
+
+        backend, rest = StorageManager._parse(folder)
+        if backend != "local":
+            return self._query_latest_remote(folder)
+        folder = rest
+        if not os.path.isdir(folder):
             return None
         best_step, best_path = -1, None
-        for root, _dirs, files in os.walk(self.save_ckpt_folder):
+        for root, _dirs, files in os.walk(folder):
             for fn in files:
                 if fn.endswith(".step"):
                     try:
@@ -327,6 +384,27 @@ class CheckpointManager:
                     if step > best_step:
                         best_step, best_path = step, root
         return best_path
+
+    def _query_latest_remote(self, folder: str) -> Optional[str]:
+        sm = get_storage_manager()
+        try:
+            keys = sm.walk(folder)
+        except (NotImplementedError, FileNotFoundError, ValueError):
+            return None
+        best_step, best_dir = -1, None
+        for key in keys:
+            fn = os.path.basename(key)
+            if not fn.endswith(".step"):
+                continue
+            try:
+                step = int(fn[: -len(".step")])
+            except ValueError:
+                continue
+            if step > best_step:
+                sub = os.path.dirname(key)
+                best_step = step
+                best_dir = folder.rstrip("/") + (f"/{sub}" if sub else "")
+        return best_dir
 
     def try_resume_training(self, train_state, current_time: str = ""):
         load_info = self.load_ckpt_info

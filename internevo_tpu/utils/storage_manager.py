@@ -131,6 +131,41 @@ class ObjectStoreClient:
         LocalClient.delete_obj(self._object_path(rest))
         LocalClient.delete_obj(self._object_path(rest) + ".md5")
 
+    # raw-file transfer (orbax checkpoint trees are opaque bytes, not pickles)
+
+    def upload_file(self, local_file: str, rest: str):
+        """Raw local file -> object (+ md5 sidecar); the SOURCE is kept (tree
+        uploads walk a staging dir the caller disposes of as a whole)."""
+        dst = self._object_path(rest)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        shutil.copyfile(local_file, dst)
+        with open(dst + ".md5", "w") as f:
+            f.write(self._md5(dst))
+
+    def download_file(self, rest: str, local_file: str):
+        """Object -> raw local file, md5-verified when a sidecar exists."""
+        src = self._object_path(rest)
+        md5_fp = src + ".md5"
+        if os.path.exists(md5_fp):
+            expect = open(md5_fp).read().strip()
+            actual = self._md5(src)
+            if actual != expect:
+                raise IOError(f"md5 mismatch for {rest}: {actual} != {expect}")
+        os.makedirs(os.path.dirname(local_file) or ".", exist_ok=True)
+        shutil.copyfile(src, local_file)
+
+    def walk(self, rest: str):
+        """Relative keys of every object under the prefix (recursive, md5
+        sidecars excluded) — the reference's paginated list_objects scan."""
+        base = self._object_path(rest)
+        out = []
+        for root, _dirs, files in os.walk(base):
+            for fn in files:
+                if fn.endswith(".md5"):
+                    continue
+                out.append(os.path.relpath(os.path.join(root, fn), base))
+        return out
+
 
 def _move_staged(staged: str, dst: str):
     """Publish a staged pickle to its local destination; staged file removed."""
@@ -223,6 +258,66 @@ class StorageManager:
             LocalClient.delete_obj(fp)
         else:
             self._client(backend).delete_obj(fp)
+
+    # directory trees (orbax checkpoints routed to object-store backends)
+
+    def upload_dir(self, local_dir: str, path: str):
+        """Upload a whole local directory tree to ``path`` (URI prefix).
+        Synchronous — checkpoint finalization barriers on it before writing
+        the completeness stamp.  Local backend: plain tree copy."""
+        backend, prefix = self._parse(path)
+        if backend == "local":
+            shutil.copytree(local_dir, prefix, dirs_exist_ok=True)
+            return
+        client = self._client(backend)
+        for root, _dirs, files in os.walk(local_dir):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                rel = os.path.relpath(fp, local_dir)
+                client.upload_file(fp, prefix.rstrip("/") + "/" + rel)
+
+    def download_dir(self, path: str, local_dir: str) -> str:
+        """Fetch a URI-prefixed tree into ``local_dir`` and return the local
+        root to read from.  Local backend: returns the path in place."""
+        backend, prefix = self._parse(path)
+        if backend == "local":
+            return prefix
+        client = self._client(backend)
+        keys = client.walk(prefix)
+        if not keys:
+            raise FileNotFoundError(f"no objects under {path}")
+        for rel in keys:
+            client.download_file(prefix.rstrip("/") + "/" + rel,
+                                 os.path.join(local_dir, rel))
+        return local_dir
+
+    def walk(self, path: str):
+        """Recursive relative keys under a URI prefix (both backends)."""
+        backend, prefix = self._parse(path)
+        if backend == "local":
+            out = []
+            for root, _dirs, files in os.walk(prefix):
+                for fn in files:
+                    out.append(os.path.relpath(os.path.join(root, fn), prefix))
+            return out
+        return self._client(backend).walk(prefix)
+
+    def put_text(self, path: str, text: str):
+        """Write a small text object (the ``.step`` completeness stamp)."""
+        backend, fp = self._parse(path)
+        if backend == "local":
+            os.makedirs(os.path.dirname(fp) or ".", exist_ok=True)
+            with open(fp, "w") as f:
+                f.write(text)
+            return
+        os.makedirs(self.tmp_folder, exist_ok=True)
+        fd, staged = tempfile.mkstemp(dir=self.tmp_folder, suffix=".stamp")
+        with os.fdopen(fd, "w") as f:
+            f.write(text)
+        try:
+            self._client(backend).upload_file(staged, fp)
+        finally:
+            os.remove(staged)
 
     def wait(self):
         """Barrier: block until all queued async uploads finish (ref :1136+).

@@ -95,3 +95,67 @@ def test_load_mask():
     assert m.need_load("model") and not m.need_load("optimizer")
     m_all = CheckpointLoadMask(("all",))
     assert all(m_all.need_load(c) for c in ("model", "optimizer", "sampler", "scheduler"))
+
+
+# -------------------------------------------- object-store checkpoint trees
+
+
+def _store(tmp_path, monkeypatch):
+    root = tmp_path / "objstore"
+    monkeypatch.setenv("IEVO_OBJECT_STORE_ROOT", str(root))
+    return root
+
+
+def test_object_store_save_resume_roundtrip(tmp_path, monkeypatch):
+    """save_ckpt_folder="boto3:s3://…": the orbax tree stages locally, uploads
+    through the StorageManager (md5 sidecars), the remote .step stamp lands
+    LAST, and auto-resume scans the STORE and downloads the tree back
+    (reference boto3 save/load path, storage_manager.py:984-1135)."""
+    root = _store(tmp_path, monkeypatch)
+    engine, ts = _FakeEngine(), _FakeTrainState()
+    uri = "boto3:s3://bucket/ckpts"
+    cfg = Config(dict(enable_save_ckpt=True, save_ckpt_folder=uri,
+                      checkpoint_every=5, auto_resume=True, async_upload=False,
+                      oss_snapshot_freq=0, load_ckpt_info=None,
+                      async_upload_tmp_folder=str(tmp_path / "stage")))
+    mgr = CheckpointManager(cfg, engine=engine, train_state=ts, model_config={"x": 1})
+    mgr.save_checkpoint(f"{uri}/7", ts)
+    obj_dir = root / "boto3" / "bucket" / "ckpts" / "7"
+    assert (obj_dir / "7.step").exists(), list(obj_dir.rglob("*"))
+    assert (obj_dir / "context.pkl.md5").exists()  # md5 sidecars ride along
+    # staging dir is disposed after upload
+    assert not list((tmp_path / "stage").glob("orbax_stage/*"))
+
+    engine2, ts2 = _FakeEngine(), _FakeTrainState()
+    engine2.params = {"w": jnp.zeros(8)}
+    engine2.opt_state = {"m": jnp.zeros(8), "step": jnp.asarray(0)}
+    mgr2 = CheckpointManager(cfg, engine=engine2, train_state=ts2, model_config={"x": 1})
+    latest = mgr2.query_latest_snapshot_step_local()
+    assert latest == f"{uri}/7", latest
+    mgr2.try_resume_training(ts2)
+    np.testing.assert_array_equal(engine2.params["w"], np.arange(8))
+    np.testing.assert_array_equal(engine2.opt_state["m"], np.ones(8))
+    assert int(engine2.opt_state["step"]) == 3
+
+
+def test_object_store_scan_picks_latest_and_md5_guard(tmp_path, monkeypatch):
+    root = _store(tmp_path, monkeypatch)
+    engine, ts = _FakeEngine(), _FakeTrainState()
+    uri = "volc:vc://bucket/run1"
+    cfg = Config(dict(enable_save_ckpt=True, save_ckpt_folder=uri,
+                      checkpoint_every=5, auto_resume=True, async_upload=False,
+                      oss_snapshot_freq=0, load_ckpt_info=None,
+                      async_upload_tmp_folder=str(tmp_path / "stage")))
+    mgr = CheckpointManager(cfg, engine=engine, train_state=ts, model_config=None)
+    for step in (5, 15, 10):
+        ts.step_count = step
+        mgr.save_checkpoint(f"{uri}/{step}", ts)
+    assert mgr.query_latest_snapshot_step_local() == f"{uri}/15"
+    # integrity: corrupt an object -> download raises the md5 mismatch
+    victim = next((root / "volc" / "bucket" / "run1" / "15").glob("context.pkl"))
+    victim.write_bytes(b"corrupted")
+    from internevo_tpu.checkpoint.checkpoint_manager import (
+        CheckpointLoadMask, try_load_internevo_ckpt)
+
+    with pytest.raises(IOError, match="md5 mismatch"):
+        try_load_internevo_ckpt(engine, ts, f"{uri}/15", CheckpointLoadMask(("all",)))
