@@ -35,6 +35,22 @@ logger = get_logger(__name__)
 CKPT_SLOT_COUNT = 2  # alternating snapshot slots (ref :414)
 
 
+def _best_stamped_dir(stamped) -> Optional[str]:
+    """Newest '.step'-stamped directory from (filename, dir) pairs — the
+    shared reducer behind the local os.walk scan and the remote key scan."""
+    best_step, best_dir = -1, None
+    for fn, d in stamped:
+        if not fn.endswith(".step"):
+            continue
+        try:
+            step = int(fn[: -len(".step")])
+        except ValueError:
+            continue
+        if step > best_step:
+            best_step, best_dir = step, d
+    return best_dir
+
+
 class CheckpointLoadMask:
     """Which components to restore (ref :166-198); content like
     ("model", "sampler", "optimizer", "scheduler", "all")."""
@@ -98,6 +114,7 @@ def try_load_internevo_ckpt(engine, train_state, ckpt_path: str, load_mask: Chec
     from ..utils.storage_manager import StorageManager, get_storage_manager
 
     backend, rest = StorageManager._parse(ckpt_path)
+    staging = None
     if backend != "local":
         import tempfile
 
@@ -105,6 +122,18 @@ def try_load_internevo_ckpt(engine, train_state, ckpt_path: str, load_mask: Chec
         ckpt_path = get_storage_manager().download_dir(ckpt_path, staging)
     else:
         ckpt_path = rest
+    try:
+        return _load_internevo_tree(engine, train_state, ckpt_path, load_mask)
+    finally:
+        # orbax restore is eager — the downloaded tree (potentially many GB of
+        # params+optimizer) must not accumulate in /tmp across resume cycles
+        if staging is not None:
+            shutil.rmtree(staging, ignore_errors=True)
+
+
+def _load_internevo_tree(engine, train_state, ckpt_path: str, load_mask: CheckpointLoadMask):
+    import orbax.checkpoint as ocp
+
     path = Path(ckpt_path).resolve()
     ckptr = ocp.StandardCheckpointer()
     layout = _active_layout()
@@ -225,13 +254,17 @@ class CheckpointManager:
 
     @staticmethod
     def _staging_dir(uri: str) -> str:
-        """Deterministic local staging dir for a remote checkpoint URI."""
+        """Deterministic, collision-free local staging dir for a remote
+        checkpoint URI (the readable slug alone can collide — 'run/1' and
+        'run_1' sanitize identically — so a URI hash disambiguates)."""
+        import hashlib
         import re
 
         from ..utils.storage_manager import get_storage_manager as _gsm
 
-        safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", uri)
-        return os.path.join(_gsm().tmp_folder, "orbax_stage", safe)
+        safe = re.sub(r"[^A-Za-z0-9_.-]+", "_", uri)[-80:]
+        tag = hashlib.md5(uri.encode()).hexdigest()[:8]
+        return os.path.join(_gsm().tmp_folder, "orbax_stage", f"{safe}.{tag}")
 
     def save_checkpoint(self, path: str, train_state=None, block: bool = True):
         import orbax.checkpoint as ocp
@@ -251,11 +284,17 @@ class CheckpointManager:
         if backend != "local":
             remote_dest = path
             path = self._staging_dir(path)
-            if jax.process_count() > 1 and gpc.is_rank_for_log():
-                logger.warning(
-                    "object-store checkpoint with %d processes: the staging "
-                    "dir %s must be on a SHARED filesystem (set "
-                    "ckpt.async_upload_tmp_folder)", jax.process_count(), path)
+            if (jax.process_count() > 1
+                    and not self.ckpt_config.get("async_upload_tmp_folder")):
+                # each host would stage only ITS orbax shards on a private
+                # /dev/shm, process 0 would upload a partial tree and stamp it
+                # complete — corrupting the checkpoint silently.  Require an
+                # explicit (asserted-shared) staging folder instead.
+                raise ValueError(
+                    "object-store checkpoints with multiple processes need "
+                    "ckpt.async_upload_tmp_folder set to a SHARED filesystem "
+                    "path (the default staging dir is host-private /dev/shm; "
+                    "a partial tree would be uploaded and stamped complete)")
         else:
             path = rest
         path_p = Path(path)
@@ -373,38 +412,25 @@ class CheckpointManager:
         folder = rest
         if not os.path.isdir(folder):
             return None
-        best_step, best_path = -1, None
-        for root, _dirs, files in os.walk(folder):
-            for fn in files:
-                if fn.endswith(".step"):
-                    try:
-                        step = int(fn[: -len(".step")])
-                    except ValueError:
-                        continue
-                    if step > best_step:
-                        best_step, best_path = step, root
-        return best_path
+        stamped = (
+            (fn, root)
+            for root, _dirs, files in os.walk(folder)
+            for fn in files
+        )
+        return _best_stamped_dir(stamped)
 
     def _query_latest_remote(self, folder: str) -> Optional[str]:
-        sm = get_storage_manager()
-        try:
-            keys = sm.walk(folder)
-        except (NotImplementedError, FileNotFoundError, ValueError):
-            return None
-        best_step, best_dir = -1, None
-        for key in keys:
-            fn = os.path.basename(key)
-            if not fn.endswith(".step"):
-                continue
-            try:
-                step = int(fn[: -len(".step")])
-            except ValueError:
-                continue
-            if step > best_step:
-                sub = os.path.dirname(key)
-                best_step = step
-                best_dir = folder.rstrip("/") + (f"/{sub}" if sub else "")
-        return best_dir
+        # deliberately NOT exception-guarded: a misconfigured store (missing
+        # IEVO_OBJECT_STORE_ROOT, mistyped scheme) must fail auto-resume
+        # loudly, not silently restart from step 0 and overwrite checkpoints
+        keys = get_storage_manager().walk(folder)
+        base = folder.rstrip("/")
+        stamped = (
+            (os.path.basename(key),
+             base + (f"/{os.path.dirname(key)}" if os.path.dirname(key) else ""))
+            for key in keys
+        )
+        return _best_stamped_dir(stamped)
 
     def try_resume_training(self, train_state, current_time: str = ""):
         load_info = self.load_ckpt_info

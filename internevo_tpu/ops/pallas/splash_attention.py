@@ -408,6 +408,7 @@ def dropout_mask_dense(rate: float, dropout_seed, B: int, H: int, S: int, Sk: in
     coordinates) — the dense jnp paths (``attention_reference``, the
     no-aligned-block fallback, ring-attention oracle legs) use this so kernel
     and fallback produce the same dropped model."""
+    assert dropout_seed is not None, "attention dropout needs dropout_seed"
     seed = _norm_seed(dropout_seed)
     row = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, S, 1), 2) + jnp.uint32(seed[1])
     col = jax.lax.broadcasted_iota(jnp.uint32, (1, 1, 1, Sk), 3) + jnp.uint32(seed[2])
@@ -1036,6 +1037,10 @@ def splash_attention(
     # DIVIDE the sequence lengths (the old dense-grid kernel padded with cdiv);
     # shrink to the largest sublane-aligned divisor, or fall back to the jnp
     # reference for pathological lengths (odd eval paddings)
+    if dropout_rate > 0.0:
+        # BEFORE the dense fallback: a None seed there would silently draw
+        # the fixed seed-0 mask every step instead of failing loudly
+        assert dropout_seed is not None, "attention dropout needs dropout_seed"
     block_q = _fit_block(S, block_q)
     block_k = _fit_block(k.shape[1], block_k)
     if block_q is None or block_k is None:
@@ -1056,8 +1061,6 @@ def splash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    if dropout_rate > 0.0:
-        assert dropout_seed is not None, "attention dropout needs dropout_seed"
     seed_arr = _norm_seed(dropout_seed)
     out = _splash(qt, kt, vt, segment_ids, segment_ids, seed_arr, scale, causal,
                   block_q, block_k, max_segment_len, interpret,

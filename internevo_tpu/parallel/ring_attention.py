@@ -121,6 +121,9 @@ def ring_attention(
     # ring kernel tests exercise interpret mode under plain shard_map).
     pallas = use_pallas() if interpret is None else True
 
+    if schedule not in ("zigzag", "contiguous"):
+        raise ValueError(
+            f"ring_schedule must be 'zigzag' or 'contiguous', got {schedule!r}")
     args = (q, k, v, segment_ids, axis_name, scale, max_segment_len, interpret,
             dropout_rate, seed0, pallas)
     if schedule == "zigzag" and n > 1 and S_loc % 2 == 0:

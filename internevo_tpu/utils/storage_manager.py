@@ -98,6 +98,15 @@ class ObjectStoreClient:
                 h.update(chunk)
         return h.hexdigest()
 
+    def _verify_md5(self, src: str, rest: str):
+        """Check an object against its sidecar (no-op when none exists)."""
+        md5_fp = src + ".md5"
+        if os.path.exists(md5_fp):
+            expect = open(md5_fp).read().strip()
+            actual = self._md5(src)
+            if actual != expect:
+                raise IOError(f"md5 mismatch for {rest}: {actual} != {expect}")
+
     def upload(self, staged_file: str, rest: str):
         try:
             dst = self._object_path(rest)
@@ -114,12 +123,7 @@ class ObjectStoreClient:
         import pickle
 
         src = self._object_path(rest)
-        md5_fp = src + ".md5"
-        if os.path.exists(md5_fp):
-            expect = open(md5_fp).read().strip()
-            actual = self._md5(src)
-            if actual != expect:
-                raise IOError(f"md5 mismatch for {rest}: {actual} != {expect}")
+        self._verify_md5(src, rest)
         with open(src, "rb") as f:
             return pickle.load(f)
 
@@ -145,12 +149,7 @@ class ObjectStoreClient:
     def download_file(self, rest: str, local_file: str):
         """Object -> raw local file, md5-verified when a sidecar exists."""
         src = self._object_path(rest)
-        md5_fp = src + ".md5"
-        if os.path.exists(md5_fp):
-            expect = open(md5_fp).read().strip()
-            actual = self._md5(src)
-            if actual != expect:
-                raise IOError(f"md5 mismatch for {rest}: {actual} != {expect}")
+        self._verify_md5(src, rest)
         os.makedirs(os.path.dirname(local_file) or ".", exist_ok=True)
         shutil.copyfile(src, local_file)
 
