@@ -68,16 +68,28 @@ def main():
         if prompt in ("exit", "quit", ""):
             break
         if tokenizer is not None:
-            ids = np.asarray([tokenizer.encode(prompt)], np.int32)
+            ids = [int(t) for t in tokenizer.encode(prompt)]
         else:
-            ids = np.asarray([[1] + [b + 3 for b in prompt.encode()]], np.int32)
-        out = gen.generate(jnp.asarray(ids), max_length=args.max_length, do_sample=True,
-                           top_k=args.top_k, top_p=args.top_p, temperature=args.temperature)
-        out_ids = np.asarray(out)[0, ids.shape[1]:]
-        if tokenizer is not None:
-            print(tokenizer.decode(out_ids.tolist()))
-        else:
-            print(bytes([max(0, min(255, t - 3)) for t in out_ids.tolist()]).decode("utf-8", "replace"))
+            ids = [1] + [b + 3 for b in prompt.encode()]
+        # token-by-token streaming like the reference streamlit demo
+        # (tools/interface.generate_interactive); ctrl-c stops one generation
+        from internevo_tpu.apis.interface import GenerationConfig, generate_interactive
+
+        gc_ = GenerationConfig(max_length=args.max_length, do_sample=True,
+                               top_k=args.top_k, top_p=args.top_p,
+                               temperature=args.temperature)
+        shown = 0
+        try:
+            for out_ids in generate_interactive(gen, ids, gc_):
+                if tokenizer is not None:
+                    text = tokenizer.decode(out_ids)
+                else:
+                    text = bytes([max(0, min(255, t - 3)) for t in out_ids]).decode("utf-8", "replace")
+                print(text[shown:], end="", flush=True)
+                shown = len(text)
+        except KeyboardInterrupt:
+            pass
+        print()
 
 
 if __name__ == "__main__":
