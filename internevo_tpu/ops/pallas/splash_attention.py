@@ -625,6 +625,7 @@ def _bwd_kernel(
     *, scale: float, causal: bool, block_q: int, block_k: int,
     use_segments: bool, q_per_kv: int, gk: int, n_steps: int,
     dropout_rate: float = 0.0, qpk_full: int = 0, head_c0: int = 0,
+    stacked: bool = False,
 ):
     """Fused flash backward: dq, dk and dv in ONE kernel over the kv-major
     (ik -> q window) schedule, so s/p/dp are computed once per visited block
@@ -652,7 +653,57 @@ def _bwd_kernel(
     q_start = qblk[b, t] * block_q
     k_start = ik_of[t] * block_k
 
+    def compute_stacked(needs_mask):
+        # STACKED variant (IEVO_FLASH_BWD_STACKED=1): the whole GQA group's q
+        # rows concatenate into ONE (R, ·) operand per kv member — the
+        # forward's layout — so each member costs 5 large matmuls instead of
+        # 5·q_per_kv block_q-row ones, and the dk/dv GQA-group reduction
+        # falls out of the stacked contraction for free.  Trades the chain
+        # pipeline's MXU/VPU interleave for fewer, bigger ops and q_per_kv×
+        # larger live f32 intermediates; A/B against the chain path on-chip.
+        mask = (_block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal,
+                            use_segments, block_q, block_k)
+                if needs_mask else None)
+        D = q_ref.shape[-1]
+        for g in range(gk):
+            hs = slice(g * q_per_kv, (g + 1) * q_per_kv)
+            qg = q_ref[0, hs].reshape(R, D)
+            dog = do_ref[0, hs].reshape(R, D)
+            s_ = jax.lax.dot_general(qg, k_ref[0, g, :, :], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * (scale * LOG2E)
+            dp = jax.lax.dot_general(dog, v_ref[0, g, :, :], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            lse = lse_ref[0, hs, :, :1].reshape(R, 1)
+            delta = delta_ref[0, hs, :, :1].reshape(R, 1)
+            p = jnp.exp2(s_ - lse)
+            if needs_mask:
+                p = jnp.where(mask[None], p.reshape(q_per_kv, block_q, block_k),
+                              0.0).reshape(R, block_k)
+            if dropout_rate > 0.0:
+                head0 = (hg * gk + g) * qpk_full + head_c0 + dropseed[3]
+                drop = _dropout_scale(R, block_q, block_k,
+                                      q_start + dropseed[1], k_start + dropseed[2],
+                                      head0,
+                                      _dropout_base(dropseed[0], b + dropseed[4]),
+                                      dropout_rate, q_per_row_block=q_per_kv)
+                pb = (p * drop).astype(do_ref.dtype)
+                ds = (p * (dp * drop - delta)).astype(q_ref.dtype)
+            else:
+                pb = p.astype(do_ref.dtype)
+                ds = (p * (dp - delta)).astype(q_ref.dtype)
+            drows = slice(g * D, (g + 1) * D)
+            dv_sc[drows, :] += jax.lax.dot_general(
+                dog, pb, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dk_sc[drows, :] += jax.lax.dot_general(
+                qg, ds, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            dq_blk = jax.lax.dot_general(ds, k_ref[0, g, :, :], (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+            dq_sc[hs, pl.ds(q_start, block_q), :] += dq_blk.reshape(q_per_kv, block_q, D)
+
     def compute(needs_mask):
+        if stacked:
+            compute_stacked(needs_mask)
+            return
         # Depth-1 software pipeline over per-head chains: each chain's MXU
         # head (s = q k^T and dp = do v^T — dp does not depend on p) is issued
         # BEFORE the previous chain's exp/mask VPU phase, so the in-order
@@ -842,7 +893,8 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                               block_k=block_k, use_segments=use_segments,
                               q_per_kv=qpk_c, gk=gk, n_steps=Tk,
                               dropout_rate=float(dropout_rate),
-                              qpk_full=q_per_kv, head_c0=head_c0),
+                              qpk_full=q_per_kv, head_c0=head_c0,
+                              stacked=os.environ.get("IEVO_FLASH_BWD_STACKED", "0") == "1"),
             grid_spec=bwd_spec,
             compiler_params=_compiler_params(interpret),
             out_shape=[

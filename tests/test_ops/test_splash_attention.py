@@ -370,3 +370,44 @@ def test_attention_dropout_kernel_matches_dense_fallback():
                                 dropout_rate=rate, dropout_seed=seed)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_d),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_stacked_backward_matches_chain_backward(monkeypatch):
+    """IEVO_FLASH_BWD_STACKED=1 (whole-GQA-group stacked matmuls, the
+    forward's layout) must produce the same grads as the default per-head
+    chain schedule — segments + GQA + dropout exercised."""
+    B, S, Hq, Hkv, D, rate, seed = 1, 256, 4, 2, 64, 0.2, 13
+    q = _rand((B, S, Hq, D), 31)
+    k = _rand((B, S, Hkv, D), 32)
+    v = _rand((B, S, Hkv, D), 33)
+    seg = _aligned_segments(B, S, 128)
+    kw = dict(segment_ids=seg, causal=True, block_q=128, block_k=128,
+              max_segment_len=128, interpret=True,
+              dropout_rate=rate, dropout_seed=jnp.asarray(seed, jnp.int32))
+
+    def loss(q, k, v):
+        o = splash_attention(q, k, v, **kw)
+        return jnp.sum(o * jnp.cos(o))
+
+    monkeypatch.delenv("IEVO_FLASH_BWD_STACKED", raising=False)
+    g_chain = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("IEVO_FLASH_BWD_STACKED", "1")
+    g_stacked = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for a, c, name in zip(g_stacked, g_chain, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"d{name}")
+
+    # no-dropout, no-segment variant vs the dense reference
+    kw2 = dict(causal=True, block_q=128, block_k=128, interpret=True)
+
+    def loss_s(q, k, v):
+        return jnp.sum(jnp.sin(splash_attention(q, k, v, **kw2)))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v, causal=True)))
+
+    g_s = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, c, name in zip(g_s, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-5,
+                                   atol=5e-5, err_msg=f"d{name} vs ref")
