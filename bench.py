@@ -36,7 +36,12 @@ def build_bench_config(preset: str):
         # reference's own perf tables sweep micro shapes the same way,
         # train_performance.md:74-86); correctness of grad accumulation is
         # covered by tests, not the bench
-        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0),
+        # ce_chunk = full packed length (one chunk, no scan): measured 70.7%
+        # vs 70.0% at 2048 — one (P, V) logits matmul and ONE dW read-modify-
+        # write pass instead of four.  The transient bf16 logits (824MB) fit
+        # after the lse-residual padding fix freed 1.5GB.
+        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0,
+                     ce_chunk=8192),
         "700m_m2": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
         # 7B-shaped single-chip slice (hidden 4096, vocab 103168, 4 layers,
         # seq 4096 packed 2x2048): validates the splash kernel + fused CE at
@@ -72,7 +77,7 @@ def build_full_config(p: dict) -> dict:
         data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
                   total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
         model=dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
-                   remat_save_mlp=os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0") == "1",
+                   remat_save_mlp=float(os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0")),
                    num_attention_heads=p["heads"], vocab_size=p["vocab"],
                    embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
                    num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
@@ -80,7 +85,9 @@ def build_full_config(p: dict) -> dict:
         adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0, adam_eps=1e-8, weight_decay=0.01),
         # save-ce-logits: skip the fused-CE logits recompute matmul in backward
         # (+3.6pp MFU at 7B dims); both bench presets have the HBM headroom
-        loss=dict(label_smoothing=0, save_ce_logits=True, ce_chunk_size=2048),
+        loss=dict(label_smoothing=0, save_ce_logits=True,
+                  ce_chunk_size=int(os.environ.get("IEVO_CE_CHUNK",
+                                                   p.get("ce_chunk", 2048)))),
         parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"), pipeline=dict(size=1), weight=dict(size=1)),
     )
 
@@ -92,6 +99,8 @@ def main():
     p = build_bench_config(preset)
     if os.environ.get("IEVO_MICRO_BSZ"):
         p["micro_bsz"] = int(os.environ["IEVO_MICRO_BSZ"])
+    if os.environ.get("IEVO_CKPT"):
+        p["ckpt"] = float(os.environ["IEVO_CKPT"])
 
     from internevo_tpu.core.context import gpc
     from internevo_tpu.initialize.launch import launch

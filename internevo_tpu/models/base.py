@@ -64,8 +64,12 @@ class ModelConfig:
     # :40-272 CPU-offload path); trades PCIe/DMA bandwidth for HBM headroom
     activation_offload: bool = False
     # under full remat, additionally save the SwiGLU w1/w3 outputs (skips 2 of
-    # 5 matmul recomputes per layer; ~184MB/layer at 700m-8k shapes)
-    remat_save_mlp: bool = False
+    # 5 matmul recomputes per layer; ~184MB/layer at 700m-8k shapes).
+    # Accepts a fraction: 0.5 saves the gates for the first half of the
+    # layers only (partial-save tier between "remat everything" and OOM —
+    # the HBM cost is linear in the fraction, the recompute saving too).
+    # bool True == 1.0 for config compatibility.
+    remat_save_mlp: float = 0.0
     layer_norm_epsilon: float = 1e-5
     embed_grad_scale: float = 0.1
     parallel_output: bool = True
@@ -493,21 +497,27 @@ def model_forward(
     # backward never re-runs the forward attention kernel — ~33 MB/layer bf16
     # at 700M shapes for ~1.1 ms/layer of recompute
     save_names = ["flash_out", "flash_lse"]
-    if cfg.remat_save_mlp:
-        # also save the two SwiGLU gate activations: skips 2 of the 5 matmul
-        # recomputes per fully-rematted layer for 2*S*mlp_hidden*2 bytes/layer
-        save_names += ["mlp_w1o", "mlp_w3o"]
+    # remat_save_mlp is a FRACTION of the fully-rematted layers that also save
+    # their two SwiGLU gate activations (skips 2 of the 5 matmul recomputes
+    # per such layer for 2*S*mlp_hidden*2 bytes/layer) — a partial-save tier
+    # sized to whatever HBM headroom the optimizer state leaves.
+    mlp_frac = min(1.0, max(0.0, float(cfg.remat_save_mlp)))
+    n_gates = int(round(min(n_ckpt, cfg.num_layers) * mlp_frac))
     full_policy = jax.checkpoint_policies.save_only_these_names(*save_names)
+    gates_policy = jax.checkpoint_policies.save_only_these_names(
+        *save_names, "mlp_w1o", "mlp_w3o")
     if cfg.activation_offload:
         # keep the attention context, but in HOST memory (the reference's
         # activation-offload mode): backward re-runs everything except the
         # flash kernel, whose context streams back over DMA.  The MLP gates
         # can stay on-device alongside if remat_save_mlp is also set.
         full_policy = jax.checkpoint_policies.save_and_offload_only_these_names(
-            names_which_can_be_saved=["mlp_w1o", "mlp_w3o"] if cfg.remat_save_mlp else [],
+            names_which_can_be_saved=["mlp_w1o", "mlp_w3o"] if mlp_frac > 0 else [],
             names_which_can_be_offloaded=["flash_ctx"],
             offload_src="device", offload_dst="pinned_host")
+        n_gates = 0  # the offload policy already covers the gates choice
     full = make_scan(lambda l, h, r: block_fn(l, h, r), full_policy)
+    gates = make_scan(lambda l, h, r: block_fn(l, h, r), gates_policy)
     light = make_scan(
         lambda l, h, r: block_fn(l, h, r),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
@@ -521,15 +531,22 @@ def model_forward(
     # per-layer grad buffers in place, and partial unroll (2/3) loses ~5pp MFU
     # to extra live buffers while full unroll OOMs.  Keep 1 unless re-measured.
     unroll = cfg.scan_unroll if cfg.scan_unroll != 0 else cfg.num_layers
-    if n_ckpt >= cfg.num_layers:
-        x, _ = jax.lax.scan(full, x, blocks, unroll=unroll)
-    elif n_ckpt == 0:
-        x, _ = jax.lax.scan(light, x, blocks, unroll=unroll)
-    else:
-        head_blocks = jax.tree.map(lambda a: a[:n_ckpt], blocks)
-        tail_blocks = jax.tree.map(lambda a: a[n_ckpt:], blocks)
-        x, _ = jax.lax.scan(full, x, head_blocks, unroll=min(unroll, n_ckpt))
-        x, _ = jax.lax.scan(light, x, tail_blocks, unroll=min(unroll, cfg.num_layers - n_ckpt))
+    # layer order: [gates-saving full remat] [plain full remat] [light]
+    segments = [
+        (n_gates, gates),
+        (min(n_ckpt, cfg.num_layers) - n_gates, full),
+        (cfg.num_layers - min(n_ckpt, cfg.num_layers), light),
+    ]
+    lo = 0
+    for count, body in segments:
+        if count <= 0:
+            continue
+        if count == cfg.num_layers:
+            seg_blocks = blocks
+        else:
+            seg_blocks = jax.tree.map(lambda a: a[lo:lo + count], blocks)
+        x, _ = jax.lax.scan(body, x, seg_blocks, unroll=min(unroll, count))
+        lo += count
 
     if return_hidden:
         return x

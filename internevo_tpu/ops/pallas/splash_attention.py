@@ -839,6 +839,10 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
     # pre-scale lse into the base-2 domain (one fused XLA pass) so the kernel's
     # p = exp2(s·scale·log2e − lse·log2e) == exp(s·scale − lse)
     lse = lse.astype(jnp.float32) * LOG2E
+    if lse.ndim == 3:
+        # residuals store lse squeezed to (B, Hq, S) (unpadded HBM layout);
+        # rebuild the kernel's sublane-replicated operand transiently
+        lse = jax.lax.broadcast_in_dim(lse, (B, Hq, S, SUBLANES), (0, 1, 2))
 
     q_seg_b, kv_seg_b = _broadcast_segs(q_seg, kv_seg, B, S, Sk)
 
@@ -954,7 +958,11 @@ def _splash_fwd(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q, block
     from jax.ad_checkpoint import checkpoint_name
 
     out = checkpoint_name(out, "flash_out")
-    lse = checkpoint_name(lse, "flash_lse")
+    # save the lse residual SQUEEZED to (B, Hq, S): the kernel's native
+    # (B, Hq, S, 8) sublane-replicated form pads its minor dim 8 -> 128 in HBM
+    # (16x memory expansion — 800MB of padding for the 50MB of stacked
+    # per-layer saves at 700m shapes); backward re-broadcasts lanes for free
+    lse = checkpoint_name(lse[..., 0], "flash_lse")
     return out, (q, k, v, q_seg, kv_seg, drop_seed, out, lse)
 
 
@@ -997,7 +1005,9 @@ def _splash_lse_fwd(q, k, v, q_seg, kv_seg, drop_seed, scale, causal, block_q,
     out, lse = _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q,
                                block_k, max_segment_len, interpret, cross_kv,
                                dropout_rate=dropout_rate, drop_seed=drop_seed)
-    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, drop_seed, out, lse)
+    # residuals carry the squeezed (B, Hq, S) lse — see _splash_fwd on the 16x
+    # HBM padding of the kernel-native (B, Hq, S, 8) layout
+    return (out, lse[..., 0]), (q, k, v, q_seg, kv_seg, drop_seed, out, lse[..., 0])
 
 
 def _splash_lse_bwd(scale, causal, block_q, block_k, max_segment_len, interpret,

@@ -122,6 +122,20 @@ def global_norm(tree) -> jax.Array:
     return jnp.sqrt(jnp.sum(jnp.stack(leaves)))
 
 
+def _use_fused_adamw() -> bool:
+    """Opt-in (``IEVO_FUSED_ADAM=1``): the Pallas fused-AdamW kernel.
+
+    Measured SLOWER than XLA's own update fusions e2e at 700m (57.5% vs
+    70.0% MFU, BENCH r4 A/B): the 16MB scoped-vmem stack cap forces
+    (128, 1024) blocks whose ~3us/grid-step overhead exceeds the ~5us of
+    HBM traffic each block carries, while XLA's fusions stream the same
+    update at ~80-87% of bandwidth with no grid overhead.  Kept as an
+    opt-in for hardware/toolchains with a larger scoped-vmem budget."""
+    import os
+
+    return os.environ.get("IEVO_FUSED_ADAM") in ("1", "true", "True")
+
+
 def optimizer_step(
     params,
     grads,
@@ -143,9 +157,12 @@ def optimizer_step(
     beta2 = beta2_default if beta2 is None else beta2
     scale = state["grad_scale"]
 
-    grads_f32 = jax.tree.map(lambda g: g.astype(jnp.float32) / scale, grads)
-    norm = global_norm(grads_f32)
-    group_norms = param_group_norms(grads_f32)  # pre-clip, like the reference
+    # norms on unscaled grads, computed from the raw (possibly scaled) grads
+    # with the 1/scale factored out of the reduction — one bf16 read instead
+    # of materializing an f32 grads tree
+    inv_scale = 1.0 / scale
+    norm = global_norm(grads) * inv_scale
+    group_norms = {g: n * inv_scale for g, n in param_group_norms(grads).items()}
     found_inf = ~jnp.isfinite(norm)
 
     if adam_cfg.clip_grad_norm > 0:
@@ -153,7 +170,7 @@ def optimizer_step(
     else:  # reference convention: clip_grad_norm == 0 disables clipping
         clip_coef = jnp.asarray(1.0, jnp.float32)
     clip_coef = jnp.where(found_inf, 0.0, clip_coef)
-    grads_f32 = jax.tree.map(lambda g: g * clip_coef, grads_f32)
+    gscale = clip_coef * inv_scale  # folded unscale+clip multiplier
 
     step = state["step"] + jnp.where(found_inf, 0, 1)
     t = step.astype(jnp.float32)
@@ -161,6 +178,7 @@ def optimizer_step(
     bias2 = 1.0 - beta2**t
 
     def upd(m, v, g, master):
+        g = g.astype(jnp.float32) * gscale
         m_new = beta1 * m + (1 - beta1) * g
         v_new = beta2 * v + (1 - beta2) * jnp.square(g)
         update = (m_new / bias1) / (jnp.sqrt(v_new / bias2) + adam_cfg.eps)
@@ -172,25 +190,44 @@ def optimizer_step(
             jnp.where(keep, master, master_new),
         )
 
+    use_fused = _use_fused_adamw()
+    if use_fused:
+        from ..ops.pallas.fused_adamw import fused_adamw_supported, fused_adamw_update
+
+        scalars = jnp.stack([
+            jnp.asarray(lr, jnp.float32),
+            jnp.asarray(beta1, jnp.float32),
+            jnp.asarray(beta2, jnp.float32),
+            1.0 / bias1,
+            1.0 / bias2,
+            jnp.asarray(adam_cfg.eps, jnp.float32),
+            jnp.asarray(adam_cfg.weight_decay, jnp.float32),
+            gscale,
+            found_inf.astype(jnp.float32),
+        ])
+
     flat_m, tdef = jax.tree.flatten(state["m"])
     flat_v = jax.tree.leaves(state["v"])
-    flat_g = jax.tree.leaves(grads_f32)
+    flat_g = jax.tree.leaves(grads)
     flat_master = jax.tree.leaves(state["master"])
-    new_m, new_v, new_master = [], [], []
-    for m, v, g, w in zip(flat_m, flat_v, flat_g, flat_master):
-        a, b, c = upd(m, v, g, w)
+    flat_p = jax.tree.leaves(params)
+    new_m, new_v, new_master, new_p = [], [], [], []
+    for m, v, g, w, p in zip(flat_m, flat_v, flat_g, flat_master, flat_p):
+        if use_fused and fused_adamw_supported(g, p.dtype):
+            a, b, c, d = fused_adamw_update(g, m, v, w, scalars)
+        else:
+            a, b, c = upd(m, v, g, w)
+            d = c.astype(p.dtype)
         new_m.append(a)
         new_v.append(b)
         new_master.append(c)
+        new_p.append(d)
     new_m = jax.tree.unflatten(tdef, new_m)
     new_v = jax.tree.unflatten(tdef, new_v)
     new_master = jax.tree.unflatten(tdef, new_master)
-
     # bf16 working params re-derived from masters (keep 1-D params fp32 like the
     # reference's fp32 norm group when use_fp32_norm)
-    new_params = jax.tree.map(
-        lambda master, p: master.astype(p.dtype), new_master, params
-    )
+    new_params = jax.tree.unflatten(tdef, new_p)
 
     # ---- dynamic grad scaler update (ref utils.py:484-522, exact semantics:
     # hysteresis_step counts UP on overflow; once it reaches hysteresis every
