@@ -1,4 +1,13 @@
 #!/usr/bin/env python
+# The PAL runtime/interface scaffolding (GenericRuntime, PALInterface,
+# process_generation_to_code) and the GSM8K few-shot PROMPT are adapted from
+# the PAL repository (github.com/reasoning-machines/pal), Copyright (c) 2022
+# PAL authors, licensed under the Apache License, Version 2.0
+# (http://www.apache.org/licenses/LICENSE-2.0) — the same upstream the
+# reference's tools/pal_inference.py adapts (its header :19-34 carries this
+# license).  The PROMPT is a behavioral constant: changing it changes the
+# evaluated capability.  Distributed on an "AS IS" BASIS, WITHOUT WARRANTIES
+# OR CONDITIONS OF ANY KIND, either express or implied.
 """PAL (Program-Aided Language model) inference on GSM8K
 (reference ``tools/pal_inference.py``, itself adapted from
 github.com/reasoning-machines/pal).
