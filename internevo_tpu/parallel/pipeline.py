@@ -290,7 +290,8 @@ class _LocalCfg:
 
 
 def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
-               segment_ids_full, segment_ids_local, ring: bool, rng=None):
+               segment_ids_full, segment_ids_local, ring: bool, rng=None,
+               active=None):
     """One pre-norm block in isp (Ulysses) / rsp (ring) sequence parallelism
     inside the pipeline: activations are sequence-sharded over ``tp``
     end-to-end, weights are FULL at use (the caller gathers the wp-sharded
@@ -305,19 +306,39 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
 
     rsp: attention runs directly on the seq chunks with kv rotating around the
     tp ring (``parallel/ring_attention.py``) — no head-count bound.
-    """
-    residual = _pdrop(cfg, x, rng, 0)
-    if cfg.residual_in_fp32:
-        residual = residual.astype(jnp.float32)
-    h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
-    B, S_loc, H = h.shape
 
-    qkv = _dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
-    q, k, v = split_qkv(cfg, qkv)  # full head counts on the LOCAL seq chunk
-    cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
-    q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
+    ``active`` (rsp only): the pipeline tick's activity flag.  The ring's
+    CollectivePermute rendezvous forces this block to EXECUTE on idle ticks
+    (a stage-divergent cond around it would deadlock the mesh), but the flag
+    is uniform across each tp ring, so the pure-compute sections (qkv/rotary
+    before the ring, out_proj/MLP after, and the per-leg kernels inside it)
+    are cond-gated on it — an idle tick pays only the rotation ppermutes
+    (``doc/pp_bubble_analysis.md``, rsp section quantifies the tax).
+    """
+    def gated(fn, *operands):
+        if active is None:
+            return fn(*operands)
+        shapes = jax.eval_shape(fn, *operands)
+        return jax.lax.cond(
+            active, fn,
+            lambda *_: jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes),
+            *operands)
+
     attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
+
+    def pre_attention(x):
+        residual = _pdrop(cfg, x, rng, 0)
+        if cfg.residual_in_fp32:
+            residual = residual.astype(jnp.float32)
+        h = _norm(cfg, residual, layer["norm1"], layer.get("norm1_bias"))
+        qkv = _dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
+        q, k, v = split_qkv(cfg, qkv)  # full head counts on the LOCAL seq chunk
+        cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
+        return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v, residual
+
+    q, k, v, residual = gated(pre_attention, x)
+    B, S_loc = q.shape[:2]
+
     if ring:
         from .ring_attention import ring_attention
 
@@ -328,28 +349,33 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
                              softmax_scale=1.0 / math.sqrt(cfg.head_dim),
                              max_segment_len=cfg.max_segment_len,
                              dropout_rate=attn_drop, dropout_seed=ring_seed,
-                             schedule=cfg.ring_schedule)
+                             schedule=cfg.ring_schedule, active=active)
     else:
         # Ulysses all-to-all: (b, S/tp, Hq, D) -> (b, S, Hq/tp, D)
         q = jax.lax.all_to_all(q, TP, split_axis=2, concat_axis=1, tiled=True)
         k = jax.lax.all_to_all(k, TP, split_axis=2, concat_axis=1, tiled=True)
         v = jax.lax.all_to_all(v, TP, split_axis=2, concat_axis=1, tiled=True)
         drop_seed = _attn_drop_seed(attn_drop, rng, tp, q.shape[2])
-        ctx = flash_attention(q, k, v, segment_ids=segment_ids_full,
-                              softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
-                              max_segment_len=cfg.max_segment_len,
-                              dropout_rate=attn_drop, dropout_seed=drop_seed)
+        ctx = gated(lambda q_, k_, v_: flash_attention(
+            q_, k_, v_, segment_ids=segment_ids_full,
+            softmax_scale=1.0 / math.sqrt(cfg.head_dim), causal=True,
+            max_segment_len=cfg.max_segment_len,
+            dropout_rate=attn_drop, dropout_seed=drop_seed), q, k, v)
         ctx = jax.lax.all_to_all(ctx, TP, split_axis=1, concat_axis=2, tiled=True)
-    ctx = ctx.reshape(B, S_loc, -1)
-    attn_out = _dense(ctx, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
 
-    residual = (_pdrop(cfg, attn_out, rng, 1) + residual).astype(residual.dtype)
-    h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
-    w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
-    w3o = _dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
-    mlp_out = _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"], layer["w2"].get("bias"))
-    return ((mlp_out + residual).astype(jnp.float32 if cfg.residual_in_fp32 else cfg.dtype),
-            jnp.zeros((), jnp.float32))
+    def post_attention(ctx, residual):
+        c = ctx.reshape(B, S_loc, -1)
+        attn_out = _dense(c, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
+        res = (_pdrop(cfg, attn_out, rng, 1) + residual).astype(residual.dtype)
+        h = _norm(cfg, res, layer["norm2"], layer.get("norm2_bias"))
+        w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
+        w3o = _dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
+        mlp_out = _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"],
+                         layer["w2"].get("bias"))
+        return (mlp_out + res).astype(
+            jnp.float32 if cfg.residual_in_fp32 else cfg.dtype)
+
+    return gated(post_attention, ctx, residual), jnp.zeros((), jnp.float32)
 
 
 def _gather_by_specs(tree, specs, w_axes: tuple):
@@ -757,10 +783,15 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         if C > 1:
             Lg = blocks["norm1"].shape[0] // C  # local layers per chunk
 
-        def micro_fn(blocks_, consts_, x, m, c):
+        def micro_fn(blocks_, consts_, x, m, c, active=None):
             """One (micro m, chunk c) unit on this stage: embed at the first
             virtual stage, the chunk's layer group, head + CE (local nll SUM)
-            at the last virtual stage."""
+            at the last virtual stage.
+
+            ``active`` (rsp only): the tick's activity flag — the ring stage
+            body must execute on idle ticks (CollectivePermute rendezvous),
+            but its pure-compute sections cond-gate on this flag so a dummy
+            tick pays only the rotation ppermutes (see _isp_block)."""
             pos = jax.lax.dynamic_index_in_dim(positions, m, 0, keepdims=False)
             seg = jax.lax.dynamic_index_in_dim(segment_ids, m, 0, keepdims=False)
             if C > 1:
@@ -782,7 +813,8 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 seg_loc = jax.lax.dynamic_slice_in_dim(seg, tp_idx * S_loc, S_loc, axis=1)
 
                 def body(layer, h, rng_l):
-                    return _isp_block(cfg, tp, layer, h, pos_loc, seg, seg_loc, ring, rng_l)
+                    return _isp_block(cfg, tp, layer, h, pos_loc, seg, seg_loc, ring, rng_l,
+                                      active=active if ring else None)
             else:
                 def body(layer, h, rng_l):
                     return _manual_block(cfg, tp, layer, h, pos, seg, seq_parallel, rng_l,
@@ -900,8 +932,9 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 jnp.logical_and(u_f >= 0, u_f < U),
                 jnp.logical_not(is_last_virtual_f))
 
-            def do_fwd():
-                (h, _nll, _moe), _ = micro_fn(blocks, consts, recv_x, m_f, c_f)
+            def do_fwd(active=None):
+                (h, _nll, _moe), _ = micro_fn(blocks, consts, recv_x, m_f, c_f,
+                                              active=active)
                 return h
 
             if ring:
@@ -911,9 +944,13 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 # diverges across pp stages, half the mesh waits at the ring
                 # permute and half at the next collective: deadlock (XLA:CPU
                 # aborts; TPU would hang).  Execute the stage body every tick
-                # and mask the result — the dummy compute rides the bubble
-                # ticks the lockstep schedule already spends idle.
-                y_new = jnp.where(fwd_active, do_fwd(), jnp.zeros_like(y_send))
+                # and mask the result; the body's PURE-COMPUTE sections are
+                # cond-gated on fwd_active internally (uniform across each tp
+                # ring), so the dummy tick pays only the rotation ppermutes
+                # (doc/pp_bubble_analysis.md quantifies the unconditional-body
+                # tax this removes: 4-19pp of schedule efficiency).
+                y_new = jnp.where(fwd_active, do_fwd(active=fwd_active),
+                                  jnp.zeros_like(y_send))
             else:
                 y_new = jax.lax.cond(fwd_active, do_fwd, lambda: jnp.zeros_like(y_send))
             x_buf = jax.lax.cond(
@@ -938,8 +975,11 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
                 x_in = jnp.where(
                     is_last_virtual_b, recv_x,
                     jax.lax.dynamic_index_in_dim(x_buf, u_unit % B, 0, keepdims=False))
+                # mask is the tick's bwd_active flag (rsp): threading it as
+                # micro_fn's `active` gates the recompute AND (through the
+                # cond vjp) the backward kernels on idle ticks
                 (_, nll_sum, moe_aux), vjp_fn, n_cor = jax.vjp(
-                    lambda bl, co, x: micro_fn(bl, co, x, m_b, c_b),
+                    lambda bl, co, x: micro_fn(bl, co, x, m_b, c_b, active=mask),
                     blocks, consts, x_in, has_aux=True)
                 ct_y = jnp.where(is_last_virtual_b, jnp.zeros_like(dx_send), recv_dy)
                 # d(total_loss)/d(nll_sum_m) = 1 / n_valid_global[m] (div by M

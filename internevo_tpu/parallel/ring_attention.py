@@ -87,6 +87,7 @@ def ring_attention(
     dropout_rate: float = 0.0,
     dropout_seed: Optional[jax.Array] = None,
     schedule: str = "zigzag",
+    active: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Inside shard_map manual over ``axis_name``: all arrays are LOCAL chunks
     (B, S_local, H, D) / (B, S_local); chunks are ordered by device index along
@@ -105,7 +106,16 @@ def ring_attention(
     unsharded kernel draws (ring dropout is topology-invariant).
 
     ``schedule``: "zigzag" (balanced, default) or "contiguous" (module
-    docstring); zigzag needs an even local chunk — odd falls back."""
+    docstring); zigzag needs an even local chunk — odd falls back.
+
+    ``active`` (optional scalar bool): gates the per-leg KERNEL work while the
+    kv-rotation ppermutes still run.  The pipeline's rsp ticks pass their
+    fwd/bwd-activity flag here: the flag is uniform across each tp ring (every
+    ring member shares the pp stage index), the gated regions contain no
+    collectives, and the ring's CollectivePermute rendezvous stays
+    unconditional — so an idle pipeline tick costs only the rotation
+    bandwidth instead of a full dummy forward/backward
+    (``doc/pp_bubble_analysis.md``, rsp section)."""
     n = jax.lax.psum(1, axis_name)
     B, S_loc, Hq, D = q.shape
     scale = softmax_scale if softmax_scale is not None else D**-0.5
@@ -124,8 +134,9 @@ def ring_attention(
     if schedule not in ("zigzag", "contiguous"):
         raise ValueError(
             f"ring_schedule must be 'zigzag' or 'contiguous', got {schedule!r}")
+    act = None if active is None else jnp.asarray(active, jnp.bool_).reshape(())
     args = (q, k, v, segment_ids, axis_name, scale, max_segment_len, interpret,
-            dropout_rate, seed0, pallas)
+            dropout_rate, seed0, pallas, act)
     if schedule == "zigzag" and n > 1 and S_loc % 2 == 0:
         return _ring_zigzag(*args)
     return _ring_contiguous(*args)
@@ -151,11 +162,12 @@ def _leg(q_c, k_c, v_c, qseg, kseg, scale, max_segment_len, interpret,
 
 
 def _ring_contiguous(q, k, v, segment_ids, axis_name, scale, max_segment_len,
-                     interpret, dropout_rate, seed0, pallas):
+                     interpret, dropout_rate, seed0, pallas, active=None):
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     B, S_loc, Hq, D = q.shape
     use_segs = segment_ids is not None
+    gate = (lambda p: p) if active is None else (lambda p: jnp.logical_and(active, p))
 
     perm = [(i, (i + 1) % n) for i in range(n)]
 
@@ -175,10 +187,10 @@ def _ring_contiguous(q, k, v, segment_ids, axis_name, scale, max_segment_len,
             return (jnp.zeros_like(q), jnp.full((B, Hq, S_loc), NEG_INF, jnp.float32))
 
         return jax.lax.cond(
-            src == my,
+            gate(src == my),
             lambda: _leg(q, k_r, v_r, segment_ids, kseg, *leg_args, causal=True),
             lambda: jax.lax.cond(
-                src < my,
+                gate(src < my),
                 lambda: _leg(q, k_r, v_r, segment_ids, kseg, *leg_args, causal=False),
                 skip_chunk),
         )
@@ -209,7 +221,7 @@ def _ring_contiguous(q, k, v, segment_ids, axis_name, scale, max_segment_len,
 
 
 def _ring_zigzag(q, k, v, segment_ids, axis_name, scale, max_segment_len,
-                 interpret, dropout_rate, seed0, pallas):
+                 interpret, dropout_rate, seed0, pallas, active=None):
     """Balanced ring: 2n half-chunks, device d owns the pair {d, 2n-1-d}.
 
     Reshard happens HERE (two static ppermutes each way), so callers keep the
@@ -222,6 +234,7 @@ def _ring_zigzag(q, k, v, segment_ids, axis_name, scale, max_segment_len,
     B, S_loc, Hq, D = q.shape
     h = S_loc // 2
     use_segs = segment_ids is not None
+    gate = (lambda p: p) if active is None else (lambda p: jnp.logical_and(active, p))
 
     def owner(c):  # zigzag owner device of global half-chunk c
         return c if c < n else 2 * n - 1 - c
@@ -264,10 +277,10 @@ def _ring_zigzag(q, k, v, segment_ids, axis_name, scale, max_segment_len,
             return (jnp.zeros_like(q_c), jnp.full((B, Hq, h), NEG_INF, jnp.float32))
 
         return jax.lax.cond(
-            kch == qch,
+            gate(kch == qch),
             lambda: _leg(q_c, k_r, v_r, qseg, kseg, *leg_args, causal=True),
             lambda: jax.lax.cond(
-                kch < qch,
+                gate(kch < qch),
                 lambda: _leg(q_c, k_r, v_r, qseg, kseg, *leg_args, causal=False),
                 skip),
         )
