@@ -46,26 +46,34 @@ import jax  # noqa: E402
 def _parse_computations(text: str):
     """Split a scheduled HLO module into computations -> list of instruction
     lines (in schedule order)."""
-    comps, cur, name = {}, None, None
+    comps, cur = {}, None
+    # a computation header is `[ENTRY ]%name (params...) -> type {` — the
+    # param list may contain `=` (tuple element comments like /*index=5*/),
+    # so the old `"=" not in ln` check silently DROPPED every computation
+    # with a wide tuple parameter (i.e. the while loop bodies where all the
+    # async collectives live); match the shape instead
+    hdr_re = re.compile(r"^(ENTRY\s+)?%[\w.\-]+\s*\(")
     for ln in text.splitlines():
-        m = re.match(r"(ENTRY )?%?([\w.\-]+) (\([^)]*\) -> .*{|\{)", ln.strip())
-        if ln.rstrip().endswith("{") and ("=" not in ln):
-            name = ln.strip().split()[1 if ln.strip().startswith("ENTRY") else 0]
-            name = name.lstrip("%").split("(")[0].split(".{")[0]
+        stripped = ln.strip()
+        if stripped.endswith("{") and not ln.startswith("  ") and hdr_re.match(stripped):
+            name = stripped.split()[1 if stripped.startswith("ENTRY") else 0]
+            name = name.lstrip("%").split("(")[0]
             cur = []
             comps[name] = cur
             continue
-        if ln.strip() == "}":
+        if stripped == "}":
             cur = None
             continue
         if cur is not None and "=" in ln:
-            cur.append(ln.strip())
+            cur.append(stripped)
     return comps
 
 
-WORK_RE = re.compile(r"= \S+ (dot|fusion|convolution|custom-call)\(")
+# NB: op types can be TUPLES with spaces — `%x = (bf16[...], bf16[...])
+# all-gather-start(...)` — so the type is matched non-greedily, not as \S+
+WORK_RE = re.compile(r"= .*?\b(dot|fusion|convolution|custom-call)\(")
 START_RE = re.compile(
-    r"%([\w.\-]+) = \S+ (all-gather-start|all-reduce-start|reduce-scatter-start|"
+    r"%([\w.\-]+) = .*?\b(all-gather-start|all-reduce-start|reduce-scatter-start|"
     r"collective-permute-start|async-start)\(")
 
 
@@ -230,7 +238,8 @@ def main():
     text_out = "\n".join(out) + "\n"
     open("doc/overlap_evidence.md", "w").write(text_out)
     print(text_out)
-    shutil.rmtree(DUMP_DIR, ignore_errors=True)
+    if not os.environ.get("IEVO_OVERLAP_KEEP"):
+        shutil.rmtree(DUMP_DIR, ignore_errors=True)
 
 
 if __name__ == "__main__":
