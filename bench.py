@@ -64,6 +64,21 @@ def build_bench_config(preset: str):
         "7bshape_full": dict(hidden=4096, layers=2, heads=32, vocab=50304, seq=2048,
                              micro_bsz=8, micro_num=1, ckpt=1.0),
         "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
+        # dropless MoE FULL train step on one chip (ep=1 -> the lax.ragged_dot
+        # grouped-matmul path, models/moe/dropless.py): 700m-class total size
+        # with 8 experts top-2.  MFU uses ACTIVATED flops: top_k experts of
+        # per-expert SwiGLU ratio 8/3 -> effective mlp_ratio 16/3 in the
+        # megatron formula (the gate matmul is negligible).
+        "moe": dict(hidden=1024, layers=8, heads=16, vocab=50304, seq=2048,
+                    micro_bsz=4, micro_num=1, ckpt=1.0,
+                    model_type="INTERNLM_MoE", experts=8, top_k=2,
+                    flops_mlp_ratio=16 / 3),
+        # long-context kernel regression guard: flagship 7B dims at seq 8192
+        # (one 8192-token segment), fwd+bwd only like 7bshape — catches splash
+        # grid/window regressions the 2048-seq presets cannot see
+        "longseq": dict(hidden=4096, layers=4, heads=32, vocab=103168, seq=8192,
+                        micro_bsz=1, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
+                        save_mlp=True),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
     }
     return presets[preset]
@@ -72,20 +87,24 @@ def build_bench_config(preset: str):
 def build_full_config(p: dict) -> dict:
     """The exact launch config the bench runs — shared with tools/profile_step.py
     so the profiled program IS the benched program."""
+    model = dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
+                 remat_save_mlp=float(os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0")),
+                 num_attention_heads=p["heads"], vocab_size=p["vocab"],
+                 embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
+                 num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
+                 norm_type="rmsnorm", layer_norm_epsilon=1e-5)
+    if p.get("experts"):
+        model.update(num_experts=p["experts"], top_k=p["top_k"], moe_type="dropless",
+                     moe_use_residual=False)
     return dict(
-        model_type="INTERNLM",
+        model_type=p.get("model_type", "INTERNLM"),
         data=dict(seq_len=p["seq"], micro_num=p["micro_num"], micro_bsz=p["micro_bsz"],
                   total_steps=100, packed_length=p["seq"] * p["micro_bsz"]),
-        model=dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
-                   remat_save_mlp=float(os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0")),
-                   num_attention_heads=p["heads"], vocab_size=p["vocab"],
-                   embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
-                   num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",
-                   norm_type="rmsnorm", layer_norm_epsilon=1e-5),
+        model=model,
         adam=dict(lr=1e-4, adam_beta1=0.9, adam_beta2=0.95, adam_beta2_c=0, adam_eps=1e-8, weight_decay=0.01),
         # save-ce-logits: skip the fused-CE logits recompute matmul in backward
         # (+3.6pp MFU at 7B dims); both bench presets have the HBM headroom
-        loss=dict(label_smoothing=0, save_ce_logits=True,
+        loss=dict(label_smoothing=0, save_ce_logits=True, moe_loss_coeff=0.01,
                   ce_chunk_size=int(os.environ.get("IEVO_CE_CHUNK",
                                                    p.get("ce_chunk", 2048)))),
         parallel=dict(zero1=dict(size=-1), tensor=dict(size=1, mode="mtp"), pipeline=dict(size=1), weight=dict(size=1)),
@@ -185,7 +204,9 @@ def main():
         dt, checkpoint=p["ckpt"] > 0, seq_len=seq, hidden_size=p["hidden"],
         num_layers=p["layers"], vocab_size=p["vocab"],
         global_batch_size=micro_num * micro_bsz * dp, global_world_size=n_dev,
-        mlp_ratio=8 / 3, use_swiglu=True,
+        # MoE presets report ACTIVATED flops: top_k experts of per-expert
+        # ratio 8/3 (see the "moe" preset comment)
+        mlp_ratio=p.get("flops_mlp_ratio", 8 / 3), use_swiglu=True,
     )
     peak = device_peak_tflops()
     mfu = tflops / peak
@@ -200,7 +221,8 @@ def main():
     # band means a numerics regression, not a perf change
     # on-chip bf16 golden pins (deterministic seed/batch); band 0.05 covers
     # bf16 reduction-order noise across remat/chunking policy changes
-    GOLDEN_LOSS = {"700m": 8.650, "7bshape": 11.603, "7bshape_full": 2.733}
+    GOLDEN_LOSS = {"700m": 8.650, "7bshape": 11.603, "7bshape_full": 2.733,
+                   "moe": 9.467, "longseq": 11.596}
     loss = float(metrics["loss"])
     # the pin is only meaningful for the preset's own batch shape
     golden = None if os.environ.get("IEVO_MICRO_BSZ") else GOLDEN_LOSS.get(preset)
