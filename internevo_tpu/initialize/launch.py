@@ -81,16 +81,19 @@ def args_sanity_check() -> None:
     # coordinates (ops/pallas/splash_attention._dropout_scale) — no guard.
     model_cfg = cfg.get("model", {})
     # MoE x pipeline composition (reference pipelines MoE with accum_moe_loss,
-    # pipeline_scheduler.py:307-320): the manual 1F1B stage function runs the
-    # GShard ffn with an explicit expert a2a — supported for tensor mode mtp;
-    # the seq-parallel modes would need per-chunk gating semantics the
-    # reference does not define, so fail loudly instead of silently degrading
+    # pipeline_scheduler.py:307-320, and defines MoE under isp — WEIGHT-mode
+    # experts + per-rank sequence-split gating, modeling_moe.py:92,420-421):
+    # the manual 1F1B stage runs the MoE ffn with an explicit expert a2a under
+    # mtp, msp/fsp and isp.  rsp is the one unsupported mode: its MoE a2a
+    # would sit inside the ring's cond-gated compute sections, and a
+    # stage-divergent cond around a collective deadlocks the mesh — fail
+    # loudly instead of silently degrading.
     if int(model_cfg.get("num_experts", 1) or 1) > 1 and parallel.pipeline.get("size", 1) > 1:
-        if parallel.tensor.mode != "mtp":
+        if parallel.tensor.mode == "rsp":
             raise NotImplementedError(
-                f"MoE with pipeline.size > 1 supports tensor mode 'mtp' only "
-                f"(got '{parallel.tensor.mode}'); run msp/fsp/isp MoE at "
-                "pipeline.size == 1")
+                "MoE with pipeline.size > 1 supports tensor modes "
+                "mtp/msp/fsp/isp (got 'rsp'); run rsp MoE at pipeline.size "
+                "== 1 or use isp for sequence-parallel pipelined MoE")
 
     # ---- model defaults
     model = cfg.setdefault("model", Config())

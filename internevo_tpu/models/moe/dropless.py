@@ -39,11 +39,18 @@ def dropless_moe_apply(
     top_k: int = 2,
     rng: Optional[jax.Array] = None,
     train: bool = True,
+    stat_axes: tuple = (),
 ):
     """layer: {"gate": (H, E), "experts": {"w1","w3": (E, H, M), "w2": (E, M, H)}}.
 
     Returns (out (B, S, H), l_aux, exp_counts).  l_aux is the same
     load-balancing loss as the GShard path (mean gate prob x mean router mass).
+
+    ``stat_axes``: manual mesh axes (inside a shard_map) whose ranks each hold
+    a DIFFERENT token shard of the same logical batch (isp/msp sequence
+    chunks inside the pipeline): the aux stats pmean over them so the
+    load-balancing statistic equals the unsharded value — routing itself is
+    per-token (top-k), so only the statistic needs the reduction.
     """
     B, S, H = x.shape
     E = layer["gate"].shape[1]
@@ -58,6 +65,9 @@ def dropless_moe_apply(
     # load-balancing aux loss (GShard formula on the top-1 assignment)
     me = jnp.mean(probs, axis=0)
     ce = jnp.mean(jax.nn.one_hot(top_idx[:, 0], E, dtype=jnp.float32), axis=0)
+    if stat_axes:
+        me = jax.lax.pmean(me, stat_axes)
+        ce = jax.lax.pmean(ce, stat_axes)
     l_aux = jnp.sum(me * ce) * E
 
     flat_expert = top_idx.reshape(-1)                          # (n*k,)
@@ -67,6 +77,7 @@ def dropless_moe_apply(
     inv_token = order // top_k                                 # source token of each sorted slot
     gathered = jnp.take(tokens, inv_token, axis=0)             # (n*k, H)
     group_sizes = jnp.bincount(flat_expert, length=E)
+    exp_counts = jax.lax.psum(group_sizes, stat_axes) if stat_axes else group_sizes
 
     w1, w2, w3 = layer["experts"]["w1"], layer["experts"]["w2"], layer["experts"]["w3"]
     h1 = jax.lax.ragged_dot(gathered, w1.astype(gathered.dtype), group_sizes,
@@ -80,7 +91,6 @@ def dropless_moe_apply(
     # combine: scatter-add scaled expert outputs back to their source tokens
     scale = jnp.take(flat_weight, order).astype(expert_out.dtype)[:, None]
     out = jnp.zeros((n, H), expert_out.dtype).at[inv_token].add(expert_out * scale)
-    exp_counts = group_sizes
     return out.reshape(B, S, H), l_aux, exp_counts
 
 
@@ -130,6 +140,7 @@ def dropless_moe_apply_ep(
     rng: Optional[jax.Array] = None,
     train: bool = True,
     a2a: Optional[Callable] = None,
+    stat_axes: tuple = (),
 ):
     """Token-all-to-all dropless MoE INSIDE a manual shard_map over ``ep_axis``
     (reference MegaBlocks EP dispatch, ``moe/utils.py:8-62``):
@@ -162,14 +173,16 @@ def dropless_moe_apply_ep(
     top_probs, top_idx = jax.lax.top_k(probs, top_k)
     top_probs = top_probs / jnp.sum(top_probs, axis=-1, keepdims=True)
 
-    # GLOBALLY-reduced aux stats (psum-mean over ep): the reference computes
-    # l_aux per rank (each rank's local batch), but reducing me/ce over the ep
-    # group makes the statistic identical to the single-device / weight-gather
-    # value — layout-invariant, so EP stays a pure layout change for the loss
-    me = jax.lax.pmean(jnp.mean(probs, axis=0), ep_axis)
+    # GLOBALLY-reduced aux stats (psum-mean over ep, plus any isp/msp sequence
+    # axes in ``stat_axes``): the reference computes l_aux per rank (each
+    # rank's local batch), but reducing me/ce over the group makes the
+    # statistic identical to the single-device / weight-gather value —
+    # layout-invariant, so EP stays a pure layout change for the loss
+    red = (ep_axis,) + tuple(stat_axes)
+    me = jax.lax.pmean(jnp.mean(probs, axis=0), red)
     ce = jax.lax.pmean(
         jnp.mean(jax.nn.one_hot(top_idx[:, 0], E, dtype=jnp.float32), axis=0),
-        ep_axis)
+        red)
     l_aux = jnp.sum(me * ce) * E
 
     flat_expert = top_idx.reshape(-1)
@@ -226,7 +239,7 @@ def dropless_moe_apply_ep(
     scale = jnp.take(flat_weight, order).astype(returned.dtype)[:, None]
     out = jnp.zeros((n, H), returned.dtype).at[inv_token].add(returned * scale)
     # global per-expert counts (the reference logs exp_counts after its a2a)
-    return out.reshape(B, S, H), l_aux, jax.lax.psum(group_sizes, ep_axis)
+    return out.reshape(B, S, H), l_aux, jax.lax.psum(group_sizes, red)
 
 
 def dropless_moe_apply_gspmd_ep(

@@ -113,10 +113,11 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     Residual/norm run on the local seq shard; the pipeline ring then carries
     1/tp of the activation bytes.
 
-    MoE blocks (``"moe" in layer``, mtp only — launch guard): the FFN is the
-    GShard layer with an explicit expert all-to-all over ``ep``
-    (reference pipelines MoE through both schedulers,
-    ``pipeline_scheduler.py:307-320`` accum_moe_loss).
+    MoE blocks (``"moe" in layer``): the FFN is the GShard/dropless layer with
+    an explicit expert all-to-all over ``ep`` (reference pipelines MoE through
+    both schedulers, ``pipeline_scheduler.py:307-320`` accum_moe_loss).  Under
+    msp/fsp the gating runs on this rank's LOCAL sequence chunk — the
+    reference's per-rank gating semantics (``modeling_moe.py:420-421``).
     """
     # replicated params (norms, row-linear biases) receive rank-varying
     # cotangents in seq-parallel mode; the shard_map boundary psums cotangents
@@ -166,7 +167,8 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     h = _norm(cfg, residual, layer["norm2"], layer.get("norm2_bias"))
     out_dtype = jnp.float32 if cfg.residual_in_fp32 else cfg.dtype
     if "moe" in layer:
-        mlp_out, l_aux = _pipeline_moe_ffn(cfg, tp, layer, h, rng, ep)
+        mlp_out, l_aux = _pipeline_moe_ffn(cfg, tp, layer, h, rng, ep,
+                                           seq_chunked=seq_parallel)
         return (mlp_out + residual).astype(out_dtype), l_aux
     if seq_parallel:
         h = jax.lax.all_gather(h, TP, axis=1, tiled=True)
@@ -184,14 +186,22 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     return (mlp_out + residual).astype(out_dtype), jnp.zeros((), jnp.float32)
 
 
-def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int):
-    """MoE FFN inside the manual pipeline (mtp only — launch guard): gating on
-    the LOCAL batch shard (the reference's per-rank semantics), experts
-    sharded over ``ep`` with an explicit all-to-all pair, optional residual
-    dense branch (tp-parallel matmuls + psum) mixed by the learned coefficient
-    (reference ``moe/moe.py:66-99``).  Returns (out, l_aux)."""
+def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int,
+                      seq_chunked: bool = False, full_weights: bool = False):
+    """MoE FFN inside the manual pipeline: gating on the LOCAL token shard
+    (the reference's per-rank semantics — under isp/msp each tp rank gates
+    its own sequence chunk, ``modeling_moe.py:420-421``), experts sharded
+    over ``ep`` with an explicit all-to-all pair, optional residual dense
+    branch mixed by the learned coefficient (reference ``moe/moe.py:66-99``).
+
+    ``seq_chunked`` (isp/msp/fsp): ``h`` is a per-tp-rank sequence chunk —
+    the dropless aux stats additionally pmean over tp so the load-balancing
+    statistic stays layout-invariant.  ``full_weights`` (isp): the residual
+    dense branch's weights are FULL at use (just-in-time gathered), so its
+    matmuls are plain local ops with no tp psum.  Returns (out, l_aux)."""
     from ..models.moe.gshard import moe_layer_apply
 
+    stat_axes = (TP,) if (seq_chunked and tp > 1) else ()
     dropless = (cfg.moe_type.lower() in ("dropless", "megablock-d", "megablock")
                 or not cfg.moe_drop_tokens)
     if dropless:
@@ -203,12 +213,13 @@ def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int):
 
             out, l_aux, _counts = dropless_moe_apply_ep(
                 layer["moe"], h, top_k=cfg.top_k, ep_axis=EP, ep_size=ep,
-                rng=rng, train=True)
+                rng=rng, train=True, stat_axes=stat_axes)
         else:
             from ..models.moe.dropless import dropless_moe_apply
 
             out, l_aux, _counts = dropless_moe_apply(
-                layer["moe"], h, top_k=cfg.top_k, rng=rng, train=True)
+                layer["moe"], h, top_k=cfg.top_k, rng=rng, train=True,
+                stat_axes=stat_axes)
     else:
         out, l_aux, _counts = moe_layer_apply(
             layer["moe"], h,
@@ -223,11 +234,26 @@ def _pipeline_moe_ffn(cfg: ModelConfig, tp: int, layer: dict, h, rng, ep: int):
             manual_ep_axis=EP,
             manual_ep_size=ep,
         )
+        if stat_axes:
+            # per-rank gating groups (reference semantics) produce per-rank
+            # aux statistics; average them over tp so the accumulated aux is
+            # tp-uniform (the schedule's moe_sum leaves with a replicated spec)
+            l_aux = jax.lax.pmean(l_aux, stat_axes)
     if cfg.num_shared_experts > 0:  # residual-MoE dense branch
-        w1o = _dense(h, layer["w1"]["kernel"])
-        w3o = _dense(h, layer["w3"]["kernel"])
-        part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
-        dense_out = _psum_tp(part) if tp > 1 else part
+        if seq_chunked and tp > 1 and not full_weights:
+            # msp/fsp: the dense weights are tp-sharded; gather the sequence
+            # around the column/row matmuls like _manual_block's FFN
+            hg = jax.lax.all_gather(h, TP, axis=1, tiled=True)
+            w1o = _dense(hg, layer["w1"]["kernel"])
+            w3o = _dense(hg, layer["w3"]["kernel"])
+            part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
+            dense_out = jax.lax.psum_scatter(part, TP, scatter_dimension=1, tiled=True)
+        else:
+            w1o = _dense(h, layer["w1"]["kernel"])
+            w3o = _dense(h, layer["w3"]["kernel"])
+            part = jnp.dot(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"].astype(h.dtype))
+            dense_out = _psum_tp(part) if (tp > 1 and not full_weights
+                                           and not seq_chunked) else part
         coef = jax.nn.softmax(
             _dense(h, layer["moe"]["coefficient"]).astype(jnp.float32), axis=-1)
         out = (out * coef[..., 0:1].astype(out.dtype)
@@ -291,7 +317,7 @@ class _LocalCfg:
 
 def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
                segment_ids_full, segment_ids_local, ring: bool, rng=None,
-               active=None):
+               active=None, ep: int = 1):
     """One pre-norm block in isp (Ulysses) / rsp (ring) sequence parallelism
     inside the pipeline: activations are sequence-sharded over ``tp``
     end-to-end, weights are FULL at use (the caller gathers the wp-sharded
@@ -368,14 +394,22 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         attn_out = _dense(c, layer["out_proj"]["kernel"], layer["out_proj"].get("bias"))
         res = (_pdrop(cfg, attn_out, rng, 1) + residual).astype(residual.dtype)
         h = _norm(cfg, res, layer["norm2"], layer.get("norm2_bias"))
+        out_dtype = jnp.float32 if cfg.residual_in_fp32 else cfg.dtype
+        if "moe" in layer:
+            # MoE under isp (reference WEIGHT-mode experts + per-rank gating
+            # on the sequence shard, ``modeling_moe.py:92,420-421``): gate the
+            # LOCAL seq chunk's tokens, experts resident over ep with the
+            # token all-to-all, aux stats pmean over tp for layout invariance
+            mlp_out, l_aux = _pipeline_moe_ffn(cfg, tp, layer, h, rng, ep,
+                                               seq_chunked=True, full_weights=True)
+            return (mlp_out + res).astype(out_dtype), l_aux
         w1o = _dense(h, layer["w1"]["kernel"], layer["w1"].get("bias"))
         w3o = _dense(h, layer["w3"]["kernel"], layer["w3"].get("bias"))
         mlp_out = _dense(jax.nn.silu(w1o) * w3o, layer["w2"]["kernel"],
                          layer["w2"].get("bias"))
-        return (mlp_out + res).astype(
-            jnp.float32 if cfg.residual_in_fp32 else cfg.dtype)
+        return (mlp_out + res).astype(out_dtype), jnp.zeros((), jnp.float32)
 
-    return gated(post_attention, ctx, residual), jnp.zeros((), jnp.float32)
+    return gated(post_attention, ctx, residual)
 
 
 def _gather_by_specs(tree, specs, w_axes: tuple):
@@ -603,7 +637,12 @@ def _block_pspecs(blocks, gqa_replicated: bool = False) -> dict:
 def _isp_block_pspecs(blocks, w_axes: tuple) -> dict:
     """Per-stage block specs for isp/rsp: layer dim over pp; weight STORAGE
     sharded over the weight-group axes ``w_axes`` (the largest weight dim,
-    mirroring sharding.py's isp PARAM_RULES); no tensor-parallel math dims."""
+    mirroring sharding.py's isp PARAM_RULES); no tensor-parallel math dims.
+
+    MoE blocks: experts shard over the dedicated ep axis on the expert dim
+    AND over ``w_axes`` on their largest dim (the reference's WEIGHT-mode isp
+    experts, ``modeling_moe.py:92``) — gathered just-in-time per micro like
+    every other wp param; the gate replicates."""
     W = w_axes if len(w_axes) > 1 else (w_axes[0] if w_axes else None)
     bs = {"norm1": P(PP), "norm2": P(PP)}
     if "norm1_bias" in blocks:
@@ -615,13 +654,21 @@ def _isp_block_pspecs(blocks, w_axes: tuple) -> dict:
     bs["out_proj"] = {"kernel": P(PP, W, None)}
     if "bias" in blocks["out_proj"]:
         bs["out_proj"]["bias"] = P(PP)
-    bs["w1"] = {"kernel": P(PP, None, W)}
-    bs["w3"] = {"kernel": P(PP, None, W)}
-    bs["w2"] = {"kernel": P(PP, W, None)}
-    if "bias" in blocks["w1"]:
-        bs["w1"]["bias"] = P(PP, W)
-        bs["w3"]["bias"] = P(PP, W)
-        bs["w2"]["bias"] = P(PP)
+    if "w1" in blocks:  # pure-MoE blocks carry no dense FFN (modeling_moe.py)
+        bs["w1"] = {"kernel": P(PP, None, W)}
+        bs["w3"] = {"kernel": P(PP, None, W)}
+        bs["w2"] = {"kernel": P(PP, W, None)}
+        if "bias" in blocks["w1"]:
+            bs["w1"]["bias"] = P(PP, W)
+            bs["w3"]["bias"] = P(PP, W)
+            bs["w2"]["bias"] = P(PP)
+    if "moe" in blocks:
+        moe = {"gate": P(PP),
+               "experts": {"w1": P(PP, EP, None, W), "w3": P(PP, EP, None, W),
+                           "w2": P(PP, EP, W, None)}}
+        if "coefficient" in blocks["moe"]:
+            moe["coefficient"] = P(PP)
+        bs["moe"] = moe
     return bs
 
 
@@ -741,9 +788,12 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
     ep_size = mesh.shape.get(EP, 1)
     is_moe = getattr(cfg, "num_experts", 1) > 1
     if is_moe:
-        assert not (isp_like or seq_parallel), (
-            "MoE inside the pipeline supports tensor mode mtp only "
-            "(launch.py guards this)")
+        # mtp, msp/fsp and isp all compose (per-rank gating on the local token
+        # shard is the reference semantics, modeling_moe.py:420-421); rsp is
+        # the one exception — its MoE a2a would sit inside the ring's
+        # cond-gated compute sections, and a stage-divergent cond around a
+        # collective deadlocks the mesh (launch.py guards this loudly)
+        assert not ring, "MoE x rsp inside the pipeline (launch.py guards this)"
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
                  input_ids, positions, segment_ids, labels, rng):
@@ -814,7 +864,7 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
 
                 def body(layer, h, rng_l):
                     return _isp_block(cfg, tp, layer, h, pos_loc, seg, seg_loc, ring, rng_l,
-                                      active=active if ring else None)
+                                      active=active if ring else None, ep=ep_size)
             else:
                 def body(layer, h, rng_l):
                     return _manual_block(cfg, tp, layer, h, pos, seg, seq_parallel, rng_l,
@@ -914,10 +964,16 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
         }
 
         # d(total)/d(moe_aux per unit): coeff, averaged over batch shards (the
-        # reference all-reduce-AVERAGES dp grads; /M applied outside)
+        # reference all-reduce-AVERAGES dp grads; /M applied outside).  Under
+        # isp/msp the tp ranks are ALSO gating-token shards whose aux stats
+        # pmean over tp — every tp rank seeds this cotangent and the pmean
+        # transpose re-multiplies by tp, so the seed divides by tp exactly
+        # like it divides by the ep/dp shards (pinned by
+        # test_moe_pp2_isp2_matches_pp1's loss curve)
         n_batch_shards = (mesh.shape.get(DP, 1) * mesh.shape.get(EP, 1)
                          * mesh.shape.get(ZERO, 1))
-        ct_moe_const = moe_loss_coeff / n_batch_shards
+        n_aux_shards = n_batch_shards * (tp if (is_moe and seq_sharded) else 1)
+        ct_moe_const = moe_loss_coeff / n_aux_shards
 
         def tick(t, carry):
             y_send, dx_send, x_buf, grads, loss_sum, cor_sum, moe_sum = carry
@@ -1037,11 +1093,14 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
             cs["norm_bias"] = P()
         d_blocks = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["blocks"], blocks)
         d_consts = jax.tree.map(lambda g, p: g.astype(p.dtype), grads["consts"], consts)
-        if "moe" in d_blocks:
-            # the moe subtree is REPLICATED-compute over tp (mtp activations +
-            # identical rng): every tp rank already holds the full cotangent —
-            # summing over tp would scale by tp (reference: expert/gate grads
-            # reduce over dp only, never tp).  Exclude TP from its psum.
+        if "moe" in d_blocks and not (isp_like or seq_parallel):
+            # mtp: the moe subtree is REPLICATED-compute over tp (mtp
+            # activations + identical rng): every tp rank already holds the
+            # full cotangent — summing over tp would scale by tp (reference:
+            # expert/gate grads reduce over dp only, never tp).  Exclude TP
+            # from its psum.  (isp/msp gate DIFFERENT tokens per tp rank, so
+            # there the moe grads are partial sums and TP joins the normal
+            # boundary psum below.)
             moe_g = {k: d_blocks[k] for k in ("moe",)}
             rest = {k: v for k, v in d_blocks.items() if k != "moe"}
             rest = _boundary_psum(rest, {k: v for k, v in bs.items() if k != "moe"},

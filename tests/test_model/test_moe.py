@@ -442,6 +442,80 @@ def test_moe_pp2_ep2_matches_ep1():
     np.testing.assert_allclose(la, lb, rtol=3e-4, atol=3e-5)
 
 
+def _moe_seqpar_cfg(seq, V, steps, micro_bsz, parallel):
+    cfg = _moe_pp_cfg(seq, V, steps, micro_bsz, parallel)
+    # dropless routing is per-token (top-k), so outputs are layout-invariant,
+    # and the aux stats pmean over tp/ep makes the LOSS layout-invariant too
+    cfg["model"]["moe_type"] = "dropless"
+    return cfg
+
+
+def test_moe_pp2_isp2_matches_pp1():
+    """MoE under isp INSIDE the pipeline (reference WEIGHT-mode experts +
+    per-rank sequence-split gating, ``modeling_moe.py:92,420-421``, pipelined
+    through both schedulers): pp2 x isp2 with dropless MoE must reproduce the
+    single-device loss AND aux-loss curves — gating runs per tp rank on its
+    LOCAL seq chunk, and the pmean'd aux stats equal the global statistic."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(7)
+    toks = rng.randint(1, V, (steps, 2, 1, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 1, seq)).astype(np.int32)
+
+    pp1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    isp = dict(zero1=dict(size=1), tensor=dict(size=2, mode="isp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, pp1), toks, labs, 1, "rows")
+    l2, m2 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, isp), toks, labs, 4, "rows")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)
+    assert any(m > 0 for m in m2), m2
+
+
+def test_moe_pp2_msp2_matches_pp1():
+    """MoE under Megatron sequence parallelism (msp) inside the pipeline:
+    the block hands the MoE ffn its LOCAL sequence shard (per-rank gating,
+    the reference semantics) and expert grads sum over tp at the boundary."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(8)
+    toks = rng.randint(1, V, (steps, 2, 1, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 1, seq)).astype(np.int32)
+
+    pp1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    msp = dict(zero1=dict(size=1), tensor=dict(size=2, mode="msp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, pp1), toks, labs, 1, "rows")
+    l2, m2 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, msp), toks, labs, 4, "rows")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)
+
+
+def test_moe_pp2_isp2_ep2_matches_ep1():
+    """The full flagship composition on 8 devices: pp2 x isp2 x ep2 — token
+    all-to-all expert dispatch from INSIDE the isp pipeline stage (local seq
+    chunk's tokens travel to resident experts) must match pp2 x isp2 x ep1 on
+    the same global tokens (re-packed; per-token routing is grouping-free and
+    the aux stats reduce over both ep and tp)."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(9)
+    toks = rng.randint(1, V, (steps, 2, 2, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 2, seq)).astype(np.int32)
+
+    from internevo_tpu.core.context import gpc
+
+    ep2 = dict(zero1=dict(size=2), tensor=dict(size=2, mode="isp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    ep1 = dict(zero1=dict(size=1), tensor=dict(size=2, mode="isp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    la, ma = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, ep2), toks, labs, 8, "rows")
+    assert gpc.sizes.ep == 2, gpc.sizes
+    lb, mb = _run_moe(_moe_seqpar_cfg(seq, V, steps, 2, ep1), toks, labs, 4, "packed")
+    assert gpc.sizes.ep == 1, gpc.sizes
+    np.testing.assert_allclose(la, lb, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(ma, mb, rtol=3e-4, atol=3e-5)
+
+
 def test_dropless_ep_token_a2a_matches_single_device():
     """Token-all-to-all dropless EP (``dropless_moe_apply_ep``, reference
     MegaBlocks EP dispatch ``moe/utils.py:8-62``) is a pure layout change:
