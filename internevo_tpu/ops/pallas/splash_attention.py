@@ -759,8 +759,8 @@ def _bwd_kernel(
             # dk/dv are accumulated TRANSPOSED (D-major): dv^T = do^T @ p puts
             # the contraction on dim 0 of the small (block_q, D) operand, so
             # Mosaic relayouts a (bq, 128) tile instead of the (bq, bk) p/ds
-            # blocks (8x less transpose work per step); the (D, Sk) outputs
-            # are flipped back by XLA outside the kernel at HBM bandwidth.
+            # blocks (8x less transpose work per step); the scratch is flipped
+            # to natural (block_k, D) in VMEM once per kv block at finalize.
             g, h = chains[ci]
             hq = g * q_per_kv + h
             D = q_ref.shape[-1]
@@ -800,9 +800,12 @@ def _bwd_kernel(
     def _finalize_dkv():
         D = q_ref.shape[-1]
         # deferred softmax scale: ds was accumulated unscaled (dv uses p, no
-        # scale), so dk picks it up here, once per kv block
-        dk_ref[0] = (dk_sc[:] * scale).reshape(gk, D, block_k).astype(dk_ref.dtype)
-        dv_ref[0] = dv_sc[:].reshape(gk, D, block_k).astype(dv_ref.dtype)
+        # scale), so dk picks it up here, once per kv block.  The D-major
+        # scratch is flipped to the natural (block_k, D) layout HERE, in VMEM,
+        # once per kv block — an XLA transpose of the full (B,H,S,D) outputs
+        # measured ~5x below copy bandwidth (21.8 ms/step at 700m)
+        dk_ref[0] = (dk_sc[:] * scale).reshape(gk, D, block_k).transpose(0, 2, 1).astype(dk_ref.dtype)
+        dv_ref[0] = dv_sc[:].reshape(gk, D, block_k).transpose(0, 2, 1).astype(dv_ref.dtype)
 
     @pl.when(t == n_steps - 1)
     def _finalize_dq():
@@ -862,9 +865,6 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         def kv_idx2(b, hg, t, *s):
             return (b, hg, s[0][t], 0)
 
-        def kvT_idx2(b, hg, t, *s):
-            return (b, hg, 0, s[0][t])
-
         def q_idx2(b, hg, t, *s):
             return (b, hg, s[3][b, t], 0)
 
@@ -883,8 +883,8 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
             ],
             out_specs=[
                 pl.BlockSpec((1, G, S, D), lambda b, hg, t, *s: (b, hg, 0, 0)),
-                pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
-                pl.BlockSpec((1, gk, D, block_k), kvT_idx2),
+                pl.BlockSpec((1, gk, block_k, D), kv_idx2),
+                pl.BlockSpec((1, gk, block_k, D), kv_idx2),
             ],
             scratch_shapes=[
                 pltpu.VMEM((G, S, D), jnp.float32),
@@ -903,8 +903,8 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
             compiler_params=_compiler_params(interpret),
             out_shape=[
                 jax.ShapeDtypeStruct(q_c.shape, q_c.dtype),
-                jax.ShapeDtypeStruct((B, Hkv, D, Sk), k.dtype),
-                jax.ShapeDtypeStruct((B, Hkv, D, Sk), v.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Sk, D), k.dtype),
+                jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
             ],
             interpret=interpret,
         )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f, drop_seed,
@@ -912,7 +912,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
 
     gk, q_chunk = _pick_bwd_partition(Hkv, q_per_kv, S, block_q, block_k, D)
     if q_chunk == q_per_kv:
-        dq, dkT, dvT = run(q, do, lse, delta, q_per_kv, gk)
+        dq, dk, dv = run(q, do, lse, delta, q_per_kv, gk)
     else:
         # chunk the GQA group: heads for kv head k occupy q indices
         # [k*q_per_kv, (k+1)*q_per_kv); slice per-kv-head sub-ranges
@@ -920,18 +920,16 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
             return a.reshape(B, Hkv, q_per_kv, *a.shape[2:])
 
         qg, dog, lseg, deltag = grouped(q), grouped(do), grouped(lse), grouped(delta)
-        dq_parts, dkT, dvT = [], None, None
+        dq_parts, dk, dv = [], None, None
         for c0 in range(0, q_per_kv, q_chunk):
             c1 = c0 + q_chunk
             sel = lambda a: a[:, :, c0:c1].reshape(B, Hkv * q_chunk, *a.shape[3:])
-            dq_c, dkT_c, dvT_c = run(sel(qg), sel(dog), sel(lseg), sel(deltag),
-                                     q_chunk, 1, head_c0=c0)
+            dq_c, dk_c, dv_c = run(sel(qg), sel(dog), sel(lseg), sel(deltag),
+                                   q_chunk, 1, head_c0=c0)
             dq_parts.append(dq_c.reshape(B, Hkv, q_chunk, S, D))
-            dkT = dkT_c if dkT is None else dkT + dkT_c
-            dvT = dvT_c if dvT is None else dvT + dvT_c
+            dk = dk_c if dk is None else dk + dk_c
+            dv = dv_c if dv is None else dv + dv_c
         dq = jnp.concatenate(dq_parts, axis=2).reshape(B, Hq, S, D)
-    dk = dkT.transpose(0, 1, 3, 2)
-    dv = dvT.transpose(0, 1, 3, 2)
     return dq, dk, dv, None, None, None
 
 
