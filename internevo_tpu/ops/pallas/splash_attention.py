@@ -436,17 +436,18 @@ def _block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal, use_segments,
 
 
 def _fwd_kernel(
-    # scalar prefetch
-    iq_of, j_of, last_of, kvblk, run_f, mask_f, dropseed,
-    # inputs
-    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
-    # outputs
-    o_ref, lse_ref,
-    # scratch
-    acc_sc, m_sc, l_sc,
-    *, scale: float, causal: bool, block_q: int, block_k: int,
+    # scalar prefetch: iq_of, j_of, last_of, kvblk, run_f, mask_f
+    # [+ dropseed ONLY when dropout_rate > 0 — the rate-0 call must stay
+    #  operand-identical to the dropout-free kernel so disabled dropout is
+    #  bit-exact and free], then inputs / outputs / scratch
+    iq_of, j_of, last_of, kvblk, run_f, mask_f, *rest,
+    scale: float, causal: bool, block_q: int, block_k: int,
     use_segments: bool, q_per_kv: int, gk: int, dropout_rate: float = 0.0,
 ):
+    if dropout_rate > 0.0:
+        dropseed, *rest = rest
+    (q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
+     o_ref, lse_ref, acc_sc, m_sc, l_sc) = rest
     t = pl.program_id(2)
     b = pl.program_id(0)
     hg = pl.program_id(1)
@@ -565,8 +566,10 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 
     gk = _pick_kv_group(Hkv, q_per_kv, block_q, block_k, D)
     G = gk * q_per_kv
-    if drop_seed is None:
-        drop_seed = jnp.zeros((5,), jnp.int32)
+    prefetch = [iq_of, j_of, last_of, kvblk, run_f, mask_f]
+    if dropout_rate > 0.0:
+        assert drop_seed is not None, "attention dropout needs dropout_seed"
+        prefetch.append(drop_seed)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk,
@@ -579,7 +582,7 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
         return (b, hg, s[0][t], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
+        num_scalar_prefetch=len(prefetch),
         grid=(B, Hq // G, T),
         in_specs=[
             pl.BlockSpec((1, block_q, LANES),
@@ -609,8 +612,7 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
             jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32),
         ],
         interpret=interpret,
-    )(iq_of, j_of, last_of, kvblk, run_f, mask_f, drop_seed,
-      q_seg_b, kv_seg_b, q, k, v)
+    )(*prefetch, q_seg_b, kv_seg_b, q, k, v)
     return out, lse
 
 
@@ -618,11 +620,9 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
 
 
 def _bwd_kernel(
-    ik_of, j_of, last_of, qblk, run_f, mask_f, dropseed,
-    q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref, dk_ref, dv_ref,
-    dq_sc, dk_sc, dv_sc,
-    *, scale: float, causal: bool, block_q: int, block_k: int,
+    # dropseed joins the prefetch ONLY when dropout_rate > 0 (see _fwd_kernel)
+    ik_of, j_of, last_of, qblk, run_f, mask_f, *rest,
+    scale: float, causal: bool, block_q: int, block_k: int,
     use_segments: bool, q_per_kv: int, gk: int, n_steps: int,
     dropout_rate: float = 0.0, qpk_full: int = 0, head_c0: int = 0,
     stacked: bool = False,
@@ -636,6 +636,10 @@ def _bwd_kernel(
     VMEM) and is flushed to the output once, at the stripe's last step —
     no dq-partials HBM traffic (the official splash kernel's fused mode
     materializes (nk, B, H, S, D) partials and reduces them outside)."""
+    if dropout_rate > 0.0:
+        dropseed, *rest = rest
+    (q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     dq_ref, dk_ref, dv_ref, dq_sc, dk_sc, dv_sc) = rest
     t = pl.program_id(2)
     b = pl.program_id(0)
     hg = pl.program_id(1)
@@ -816,8 +820,8 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                      max_segment_len, interpret, dlse=None, cross_kv=False,
                      dropout_rate=0.0):
     q, k, v, q_seg, kv_seg, drop_seed, out, lse = res
-    if drop_seed is None:
-        drop_seed = jnp.zeros((5,), jnp.int32)
+    if dropout_rate > 0.0:
+        assert drop_seed is not None, "attention dropout needs dropout_seed"
     do = g
     B, Hq, S, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
@@ -868,8 +872,11 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         def q_idx2(b, hg, t, *s):
             return (b, hg, s[3][b, t], 0)
 
+        prefetch = [ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f]
+        if dropout_rate > 0.0:
+            prefetch.append(drop_seed)
         bwd_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=7,
+            num_scalar_prefetch=len(prefetch),
             grid=(B, Hkv // gk, Tk),
             in_specs=[
                 pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
@@ -907,8 +914,7 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                 jax.ShapeDtypeStruct((B, Hkv, Sk, D), v.dtype),
             ],
             interpret=interpret,
-        )(ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f, drop_seed,
-          q_seg_b, kv_seg_b, q_c, k, v, do_c, lse_c, delta_c)
+        )(*prefetch, q_seg_b, kv_seg_b, q_c, k, v, do_c, lse_c, delta_c)
 
     gk, q_chunk = _pick_bwd_partition(Hkv, q_per_kv, S, block_q, block_k, D)
     if q_chunk == q_per_kv:
@@ -1060,7 +1066,9 @@ def splash_attention_with_lse(
     vt = v.transpose(0, 2, 1, 3)
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "attention dropout needs dropout_seed"
-    seed_arr = _norm_seed(dropout_seed)
+    # rate 0 must stay operand-identical to a dropout-free kernel (bit-exact
+    # and free): no seed rides through the vjp or the scalar prefetch
+    seed_arr = _norm_seed(dropout_seed) if dropout_rate > 0.0 else None
     out, lse = _splash_lse(qt, kt, vt, segment_ids, kv_segment_ids, seed_arr,
                            scale, causal, block_q, block_k, max_segment_len,
                            interpret, cross, float(dropout_rate))
@@ -1121,7 +1129,7 @@ def splash_attention(
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    seed_arr = _norm_seed(dropout_seed)
+    seed_arr = _norm_seed(dropout_seed) if dropout_rate > 0.0 else None
     out = _splash(qt, kt, vt, segment_ids, segment_ids, seed_arr, scale, causal,
                   block_q, block_k, max_segment_len, interpret,
                   float(dropout_rate))
