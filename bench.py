@@ -84,11 +84,33 @@ def build_bench_config(preset: str):
     return presets[preset]
 
 
+def _parse_save_mlp(raw, default: float) -> float:
+    """IEVO_SAVE_MLP accepts a fraction ("0.5") or the legacy truthy strings
+    ("true"/"false"); anything else is a clear error instead of a ValueError
+    deep inside config build."""
+    if raw is None:
+        return default
+    lowered = raw.strip().lower()
+    if lowered in ("true", "yes", "on"):
+        return 1.0
+    if lowered in ("false", "no", "off", ""):
+        return 0.0
+    try:
+        return float(lowered)
+    except ValueError:
+        raise SystemExit(
+            f"IEVO_SAVE_MLP={raw!r}: expected a fraction in [0,1] or true/false")
+
+
 def build_full_config(p: dict) -> dict:
     """The exact launch config the bench runs — shared with tools/profile_step.py
     so the profiled program IS the benched program."""
     model = dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
-                 remat_save_mlp=float(os.environ.get("IEVO_SAVE_MLP", "1" if p.get("save_mlp") else "0")),
+                 remat_save_mlp=_parse_save_mlp(os.environ.get("IEVO_SAVE_MLP"),
+                                                default=1.0 if p.get("save_mlp") else 0.0),
+                 rotary_bf16=os.environ.get("IEVO_ROTARY_BF16",
+                                            "1" if p.get("rotary_bf16") else "0")
+                             not in ("0", "false", "False"),
                  num_attention_heads=p["heads"], vocab_size=p["vocab"],
                  embed_grad_scale=1, parallel_output=True, hidden_size=p["hidden"],
                  num_layers=p["layers"], mlp_ratio=8 / 3, dtype="torch.bfloat16",

@@ -78,6 +78,13 @@ class ModelConfig:
     # static bound on packed-segment length (data.seq_len / max_length_per_sample):
     # lets the splash attention grid skip out-of-segment kv blocks entirely
     max_segment_len: Optional[int] = None
+    # run the rotary rotation math in bf16 instead of fp32: halves the HBM
+    # traffic of the remat backward's rotary-recompute cluster (the top
+    # non-matmul op at 700m, ~22 ms/step).  Output is bf16 either way; the
+    # delta is one extra bf16 rounding, inside torch-oracle parity tolerance.
+    # Changes the loss at the bit level — golden pins carry separate values
+    # per setting (doc/perf_notes.md re-pin protocol).
+    rotary_bf16: bool = False
     residual_in_fp32: bool = False
     norm_type: str = "rmsnorm"
     drop_rate: float = 0.0
@@ -309,10 +316,11 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
     q, k, v = split_qkv(cfg, qkv)
 
     cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
-    cos = cos.astype(jnp.float32)
-    sin = sin.astype(jnp.float32)
-    q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
+    rot_dtype = jnp.bfloat16 if cfg.rotary_bf16 else jnp.float32
+    cos = cos.astype(rot_dtype)
+    sin = sin.astype(rot_dtype)
+    q = apply_rotary(q, cos, sin, compute_dtype=rot_dtype)
+    k = apply_rotary(k, cos, sin, compute_dtype=rot_dtype)
 
     attn_drop = cfg.attn_drop_rate if (train and attn_rng is not None) else 0.0
     drop_seed = (jax.random.bits(attn_rng, dtype=jnp.uint32).astype(jnp.int32)

@@ -50,7 +50,7 @@ def _grouped_dot(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Arra
     """
     w = w.astype(x.dtype)
     if (not os.environ.get("IEVO_NO_GMM")
-            and jax.default_backend() != "cpu"   # pallas TPU path (axon = tunneled TPU)
+            and jax.default_backend() == "tpu"   # pltpu kernel; axon reports "tpu"
             and gmm_supported(x.shape[0], w.shape[1], w.shape[2], w.shape[0])):
         return grouped_matmul(x, w, group_sizes.astype(jnp.int32))
     return jax.lax.ragged_dot(x, w, group_sizes,

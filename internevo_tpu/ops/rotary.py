@@ -62,19 +62,27 @@ def dynamic_ntk_frequencies(positions, dim: int, base: float,
     return jnp.cos(freqs), jnp.sin(freqs)
 
 
-def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array, rotary_dim: int | None = None) -> jax.Array:
+def apply_rotary(x: jax.Array, cos: jax.Array, sin: jax.Array, rotary_dim: int | None = None,
+                 compute_dtype=jnp.float32) -> jax.Array:
     """Apply NeoX-style rotary to the first ``rotary_dim`` features of x.
 
     x: (..., seq, heads, head_dim); cos/sin: (..., seq, rotary_dim/2).
+
+    ``compute_dtype``: precision of the rotation math.  fp32 matches the
+    reference CUDA kernel bit-for-bit modulo the final bf16 round; bf16
+    (``ModelConfig.rotary_bf16``) halves the HBM traffic of the rotary
+    recompute cluster in the remat backward — the output is bf16 either way,
+    so the delta is one rounding of the multiply-add (~bf16 eps), covered by
+    the torch-oracle parity tolerance (see tests/test_training).
     """
     head_dim = x.shape[-1]
     rotary_dim = rotary_dim if rotary_dim is not None else head_dim
     x_ro = x[..., :rotary_dim]
-    x1 = x_ro[..., : rotary_dim // 2].astype(jnp.float32)
-    x2 = x_ro[..., rotary_dim // 2 :].astype(jnp.float32)
+    x1 = x_ro[..., : rotary_dim // 2].astype(compute_dtype)
+    x2 = x_ro[..., rotary_dim // 2 :].astype(compute_dtype)
     # broadcast cos/sin over the heads axis: (..., seq, 1, dim/2)
-    c = cos[..., None, :]
-    s = sin[..., None, :]
+    c = cos[..., None, :].astype(compute_dtype)
+    s = sin[..., None, :].astype(compute_dtype)
     o1 = x1 * c - x2 * s
     o2 = x1 * s + x2 * c
     out = jnp.concatenate([o1, o2], axis=-1).astype(x.dtype)

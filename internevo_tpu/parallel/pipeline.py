@@ -144,8 +144,9 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
         # all-reduce (process_group_initializer.py:857-934) as a transpose.
         q, k, v = _gqa_group_qkv(cfg, tp, layer["wqkv"], h)
     cos, sin = rope_frequencies(positions, cfg.head_dim, base=cfg.rope_base)
-    q = apply_rotary(q, cos, sin)
-    k = apply_rotary(k, cos, sin)
+    rot_dtype = jnp.bfloat16 if cfg.rotary_bf16 else jnp.float32
+    q = apply_rotary(q, cos, sin, compute_dtype=rot_dtype)
+    k = apply_rotary(k, cos, sin, compute_dtype=rot_dtype)
     attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
     drop_seed = _attn_drop_seed(attn_drop, rng, tp, q.shape[2])
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
@@ -360,7 +361,9 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         qkv = _dense(h, layer["wqkv"]["kernel"], layer["wqkv"].get("bias"))
         q, k, v = split_qkv(cfg, qkv)  # full head counts on the LOCAL seq chunk
         cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
-        return apply_rotary(q, cos, sin), apply_rotary(k, cos, sin), v, residual
+        rot_dtype = jnp.bfloat16 if cfg.rotary_bf16 else jnp.float32
+        return (apply_rotary(q, cos, sin, compute_dtype=rot_dtype),
+                apply_rotary(k, cos, sin, compute_dtype=rot_dtype), v, residual)
 
     q, k, v, residual = gated(pre_attention, x)
     B, S_loc = q.shape[:2]
@@ -443,8 +446,12 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
     L_local = jax.tree.leaves(blocks_local)[0].shape[0]
     n_full = int(round(L_local * cfg.checkpoint))
     save_names = ["flash_out", "flash_lse"]
-    if cfg.remat_save_mlp:
-        save_names += ["mlp_w1o", "mlp_w3o"]
+    # remat_save_mlp is a FRACTION of the fully-rematted layers that also save
+    # their SwiGLU gates (same semantics as model_forward's n_gates split) —
+    # honored per stage so 0.5 under pp>1 saves gates for half the local
+    # full-remat layers, not all of them
+    mlp_frac = min(1.0, max(0.0, float(cfg.remat_save_mlp)))
+    n_gates = int(round(n_full * mlp_frac))
 
     def make_body(policy):
         wrapped = jax.checkpoint(body, policy=policy, prevent_cse=False)
@@ -461,6 +468,8 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
                 return (h, aux + a), None
         return sb
 
+    gates_body = make_body(jax.checkpoint_policies.save_only_these_names(
+        *save_names, "mlp_w1o", "mlp_w3o"))
     full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
     light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
@@ -470,15 +479,16 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
     carry = (x, jnp.zeros((), jnp.float32))
-    if n_full >= L_local:
-        (out, aux), _ = jax.lax.scan(full, carry, xs)
-    elif n_full == 0:
-        (out, aux), _ = jax.lax.scan(light, carry, xs)
-    else:
-        head = jax.tree.map(lambda a: a[:n_full], xs)
-        tail = jax.tree.map(lambda a: a[n_full:], xs)
-        carry, _ = jax.lax.scan(full, carry, head)
-        (out, aux), _ = jax.lax.scan(light, carry, tail)
+    # three contiguous segments: [0, n_gates) full-remat + saved gates,
+    # [n_gates, n_full) full-remat, [n_full, L_local) light policy
+    segments = [(gates_body, 0, n_gates), (full, n_gates, n_full),
+                (light, n_full, L_local)]
+    for body_fn, lo, hi in segments:
+        if hi <= lo:
+            continue
+        seg = jax.tree.map(lambda a: a[lo:hi], xs)
+        carry, _ = jax.lax.scan(body_fn, carry, seg)
+    out, aux = carry
     return (out.astype(cfg.dtype) if cfg.residual_in_fp32 else out), aux
 
 

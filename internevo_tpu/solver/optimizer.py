@@ -99,26 +99,36 @@ def param_group_of(path: str) -> str:
     return "default"
 
 
-def param_group_norms(tree) -> dict:
+def param_group_norms(tree, pre_scale=1.0) -> dict:
     """Per-group L2 grad norms — the reference's per-step ``grad_norm`` dict
     (``hybrid_zero_optim.py:598-645`` computes one norm per param group and
-    ``record_current_batch_training_metrics`` logs the dict)."""
+    ``record_current_batch_training_metrics`` logs the dict).
+
+    ``pre_scale`` is folded into the per-leaf reduction (``sum((g*s)^2)``) so
+    loss-scaled fp16 grads are unscaled BEFORE squaring — squaring first can
+    overflow f32 under large dynamic scales and fake an inf skip."""
     sums: dict[str, list] = {}
     for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
         group = param_group_of(jax.tree_util.keystr(path))
-        sums.setdefault(group, []).append(jnp.sum(jnp.square(leaf.astype(jnp.float32))))
+        sums.setdefault(group, []).append(
+            jnp.sum(jnp.square(leaf.astype(jnp.float32) * pre_scale))
+        )
     return {g: jnp.sqrt(jnp.sum(jnp.stack(v))) for g, v in sums.items()}
 
 
-def global_norm(tree) -> jax.Array:
+def global_norm(tree, pre_scale=1.0) -> jax.Array:
     """L2 norm over the whole grad tree, fp32 accumulation.
 
     Reference ``compute_norm`` (``optimizer/utils.py:265``) routes per-group
     partial norms through TP/WP/PIPELINE/ZERO all-reduces guided by the
     IS_*_PARALLEL flags; under GSPMD the grads are unpartitioned values of the
     global tensors, so a plain sum IS the global norm — XLA inserts the psums.
-    """
-    leaves = [jnp.sum(jnp.square(g.astype(jnp.float32))) for g in jax.tree.leaves(tree)]
+    ``pre_scale`` is applied per-element before squaring (see
+    ``param_group_norms``) — still one fused read, no f32 grads tree."""
+    leaves = [
+        jnp.sum(jnp.square(g.astype(jnp.float32) * pre_scale))
+        for g in jax.tree.leaves(tree)
+    ]
     return jnp.sqrt(jnp.sum(jnp.stack(leaves)))
 
 
@@ -158,11 +168,12 @@ def optimizer_step(
     scale = state["grad_scale"]
 
     # norms on unscaled grads, computed from the raw (possibly scaled) grads
-    # with the 1/scale factored out of the reduction — one bf16 read instead
-    # of materializing an f32 grads tree
+    # with 1/scale folded INTO the per-leaf reduction — one bf16 read, no f32
+    # grads tree, and the unscale happens before squaring so scale-amplified
+    # elements can't overflow f32 inside the square
     inv_scale = 1.0 / scale
-    norm = global_norm(grads) * inv_scale
-    group_norms = {g: n * inv_scale for g, n in param_group_norms(grads).items()}
+    norm = global_norm(grads, inv_scale)
+    group_norms = param_group_norms(grads, inv_scale)
     found_inf = ~jnp.isfinite(norm)
 
     if adam_cfg.clip_grad_norm > 0:
