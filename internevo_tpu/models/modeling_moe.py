@@ -57,7 +57,9 @@ def init_moe_params(cfg: ModelConfig, key: jax.Array) -> dict:
         },
     }
     if cfg.num_shared_experts > 0:  # residual MoE: dense mlp + 2-way coefficient
+        # reference moe/moe.py:73 `torch.nn.Linear(hidden_size, 2)` — WITH bias
         moe["coefficient"] = _normal(keys[4], (L, H, 2), 0.006)
+        moe["coefficient_bias"] = jnp.zeros((L, 2), jnp.float32)
     blocks = params["blocks"]
     if cfg.num_shared_experts == 0:
         # pure MoE FFN: dense w1/w2/w3 are replaced by experts
@@ -90,6 +92,7 @@ def moe_param_specs(cfg: ModelConfig) -> dict:
     }
     if cfg.num_shared_experts > 0:
         moe_specs["coefficient"] = p("layer", "embed", None)
+        moe_specs["coefficient_bias"] = p("layer", None)
     else:
         for k in ("w1", "w2", "w3"):
             base.pop(k, None)
@@ -147,7 +150,10 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
             dense = _dense(h, layer["w1"]["kernel"])
             w3o = _dense(h, layer["w3"]["kernel"])
             dense_out = _dense(jax.nn.silu(dense) * w3o, layer["w2"]["kernel"])
-            coef = jax.nn.softmax(_dense(h, layer["moe"]["coefficient"]).astype(jnp.float32), axis=-1)
+            coef_logits = _dense(h, layer["moe"]["coefficient"])
+            if "coefficient_bias" in layer["moe"]:
+                coef_logits = coef_logits + layer["moe"]["coefficient_bias"].astype(coef_logits.dtype)
+            coef = jax.nn.softmax(coef_logits.astype(jnp.float32), axis=-1)
             out = out * coef[..., 0:1].astype(out.dtype) + dense_out * coef[..., 1:].astype(out.dtype)
         return out
 

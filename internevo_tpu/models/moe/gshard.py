@@ -36,6 +36,14 @@ def _gumbel(rng, shape):
     return -jnp.log(-jnp.log(jax.random.uniform(rng, shape, jnp.float32, 1e-10, 1.0 - 1e-10) + 1e-10) + 1e-10)
 
 
+def _uniform(rng, shape, lo=0.0, hi=1.0):
+    """Uniform draw seam (RTS priorities, gate-input jitter) — module-level so
+    parity tests can inject the SAME noise into us and the torch reference
+    (which exposes the equivalent seams as its ``*_map`` device dicts,
+    ``gshard_layer.py:29-31``)."""
+    return jax.random.uniform(rng, shape, jnp.float32, lo, hi)
+
+
 def _one_hot(x, n):
     return jax.nn.one_hot(x, n, dtype=jnp.float32)
 
@@ -70,7 +78,7 @@ def top1gating(
     # Random Token Selection (ref :180-199): prioritize randomly, not by position
     if use_rts and rng is not None:
         rts_rng, rng = jax.random.split(rng)
-        mask1_rand = mask1 * jax.random.uniform(rts_rng, mask1.shape)
+        mask1_rand = mask1 * _uniform(rts_rng, mask1.shape)
     else:
         mask1_rand = mask1
     # top-capacity tokens per expert keep their slot
@@ -173,8 +181,7 @@ def moe_layer_apply(
         # gshard_layer.py:340-342 multiplicative_jitter, epsilon=1e-2)
         jit_rng, rng = jax.random.split(rng)
         eps = 1e-2
-        gate_in = gate_in * jax.random.uniform(
-            jit_rng, gate_in.shape, jnp.float32, 1.0 - eps, 1.0 + eps)
+        gate_in = gate_in * _uniform(jit_rng, gate_in.shape, 1.0 - eps, 1.0 + eps)
     logits = gate_in @ gate_w  # (s, E) fp32 (ref: gate in fp32)
 
     if top_k == 1:

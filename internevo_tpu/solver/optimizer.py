@@ -77,7 +77,7 @@ _EMBED_HEAD_KEYS = frozenset({"embedding", "head"})
 # residual-MoE mixing coefficient is a DENSE-branch param (ref moe/moe.py:66-99
 # — not flagged IS_EXPERT_PARAM), so it stays in the default group even though
 # it lives under the "moe" subtree
-_MOE_DENSE_LEAVES = frozenset({"coefficient"})
+_MOE_DENSE_LEAVES = frozenset({"coefficient", "coefficient_bias"})
 
 
 def param_group_of(path: str) -> str:
