@@ -13,6 +13,7 @@ the fused wqkv uses the per-kv-group packed layout (see ``models/base.split_qkv`
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
@@ -172,6 +173,115 @@ def from_hf_internlm2(sd: Dict[str, np.ndarray], cfg: ModelConfig, dtype=None) -
     }
 
 
+def to_hf_internlm(params: dict, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Our INTERNLM(1) tree -> HF InternLMForCausalLM state dict.
+
+    HF InternLM1 uses llama key names with qkv/o biases (reference
+    ``transformers/convert2hf_internlm.py:141-190`` writes
+    ``model.layers.N.self_attn.{q,k,v,o}_proj.{weight,bias}``,
+    gate/up/down_proj, input/post_attention_layernorm), so the tensor mapping
+    is ``to_hf_llama``'s — which already carries the biases.  NB the reference
+    converter reads OLD-format InternLM1 checkpoint files where w2/w3 swap
+    roles (old w2 = up, w3 = down; current modules/mlp.py:63-66 has w3 = up,
+    w2 = down like us) — our in-memory tree always uses the current roles."""
+    return to_hf_llama(params, cfg)
+
+
+def from_hf_internlm(sd: Dict[str, np.ndarray], cfg: ModelConfig, dtype=None) -> dict:
+    """HF InternLMForCausalLM -> our tree (same key space as HF llama)."""
+    return from_hf_llama(sd, cfg, dtype=dtype)
+
+
+# -------------------------------------------------------- Meta-llama (pth) IO
+
+
+# Meta/InternEvo-native llama naming (reference modeling_llama.py /
+# load_llama_pretrained_weights, checkpoint/load_funcs.py:16-70):
+# tok_embeddings, layers.N.attention.{wq,wk,wv,wo}, feed_forward.{w1,w2,w3},
+# attention_norm / ffn_norm, norm, output.  TP shards concatenate column
+# weights (wq/wk/wv/w1/w3/output) on dim 0 and row weights (wo/w2) on dim 1;
+# tok_embeddings splits the hidden dim (dim 1).
+_META_DIM0 = ("attention.wq", "attention.wk", "attention.wv",
+              "feed_forward.w1", "feed_forward.w3", "output")
+_META_DIM1 = ("attention.wo", "feed_forward.w2", "tok_embeddings")
+
+
+def merge_meta_llama_shards(shards: list) -> Dict[str, np.ndarray]:
+    """Merge tp-sharded Meta-llama state dicts (list ordered by tp rank)."""
+    if len(shards) == 1:
+        return dict(shards[0])
+    merged: Dict[str, np.ndarray] = {}
+    for key in shards[0]:
+        parts = [np.asarray(s[key]) for s in shards]
+        if any(m in key for m in _META_DIM0):
+            merged[key] = np.concatenate(parts, axis=0)
+        elif any(m in key for m in _META_DIM1):
+            merged[key] = np.concatenate(parts, axis=1)
+        else:  # norms: replicated
+            merged[key] = parts[0]
+    return merged
+
+
+def from_meta_llama(sd: Dict[str, np.ndarray], cfg: ModelConfig, dtype=None) -> dict:
+    """Meta/InternEvo-native llama state dict -> our param tree
+    (reference ``load_llama_pretrained_weights``, ``load_funcs.py:16-70``)."""
+    dtype = dtype or cfg.dtype
+    get = lambda k: np.asarray(sd[k], np.float32)
+    L = cfg.num_layers
+    wqkv_k, out_k, w1_k, w2_k, w3_k, n1, n2 = [], [], [], [], [], [], []
+    for l in range(L):
+        pre = f"layers.{l}"
+        q = get(f"{pre}.attention.wq.weight").T
+        k = get(f"{pre}.attention.wk.weight").T
+        v = get(f"{pre}.attention.wv.weight").T
+        wqkv_k.append(merge_wqkv(cfg, q, k, v))
+        out_k.append(get(f"{pre}.attention.wo.weight").T)
+        w1_k.append(get(f"{pre}.feed_forward.w1.weight").T)
+        w3_k.append(get(f"{pre}.feed_forward.w3.weight").T)
+        w2_k.append(get(f"{pre}.feed_forward.w2.weight").T)
+        n1.append(get(f"{pre}.attention_norm.weight"))
+        n2.append(get(f"{pre}.ffn_norm.weight"))
+    blocks = {
+        "norm1": jnp.asarray(np.stack(n1), jnp.float32),
+        "norm2": jnp.asarray(np.stack(n2), jnp.float32),
+        "wqkv": {"kernel": jnp.asarray(np.stack(wqkv_k), dtype)},
+        "out_proj": {"kernel": jnp.asarray(np.stack(out_k), dtype)},
+        "w1": {"kernel": jnp.asarray(np.stack(w1_k), dtype)},
+        "w3": {"kernel": jnp.asarray(np.stack(w3_k), dtype)},
+        "w2": {"kernel": jnp.asarray(np.stack(w2_k), dtype)},
+    }
+    return {
+        "embedding": {"weight": jnp.asarray(get("tok_embeddings.weight"), dtype)},
+        "blocks": blocks,
+        "norm": jnp.asarray(get("norm.weight"), jnp.float32),
+        "head": {"kernel": jnp.asarray(get("output.weight").T, dtype)},
+    }
+
+
+def to_meta_llama(params: dict, cfg: ModelConfig) -> Dict[str, np.ndarray]:
+    """Our tree -> Meta/InternEvo-native llama state dict (inverse of
+    ``from_meta_llama``; the reference has loaders only, the exporter closes
+    our round-trip tests)."""
+    sd: Dict[str, np.ndarray] = {}
+    sd["tok_embeddings.weight"] = _np(params["embedding"]["weight"])
+    sd["norm.weight"] = _np(params["norm"])
+    sd["output.weight"] = _np(params["head"]["kernel"]).T
+    blocks = params["blocks"]
+    for l in range(cfg.num_layers):
+        pre = f"layers.{l}"
+        q, k, v = split_wqkv(cfg, _np(blocks["wqkv"]["kernel"][l]))
+        sd[f"{pre}.attention.wq.weight"] = q.T
+        sd[f"{pre}.attention.wk.weight"] = k.T
+        sd[f"{pre}.attention.wv.weight"] = v.T
+        sd[f"{pre}.attention.wo.weight"] = _np(blocks["out_proj"]["kernel"][l]).T
+        sd[f"{pre}.feed_forward.w1.weight"] = _np(blocks["w1"]["kernel"][l]).T
+        sd[f"{pre}.feed_forward.w3.weight"] = _np(blocks["w3"]["kernel"][l]).T
+        sd[f"{pre}.feed_forward.w2.weight"] = _np(blocks["w2"]["kernel"][l]).T
+        sd[f"{pre}.attention_norm.weight"] = _np(blocks["norm1"][l])
+        sd[f"{pre}.ffn_norm.weight"] = _np(blocks["norm2"][l])
+    return sd
+
+
 # ------------------------------------------------------------- load_funcs glue
 
 
@@ -192,10 +302,45 @@ def try_load_hf_llama_ckpt(engine, train_state, ckpt_path: str, load_mask):
     return True
 
 
+def try_load_meta_llama_ckpt(engine, train_state, ckpt_path: str, load_mask):
+    """ckpt_type='llama' (reference ``load_funcs.py:16-70``,
+    ``load_llama_pretrained_weights``): a folder of Meta/InternEvo-native
+    llama torch weights — either tp-sharded ``model_tp{i}_*.pt`` files (the
+    reference requires old_tp == cur_tp; we merge the shards instead, since
+    orbax params are topology-free) or plain ``*.pth``/``*.pt`` files
+    (Meta ``consolidated.NN.pth`` shards)."""
+    import glob as _glob
+
+    import torch
+
+    fns = sorted(f for f in _glob.glob(os.path.join(ckpt_path, "model_t*"))
+                 if not f.endswith("md5"))
+    if not fns:
+        fns = sorted(_glob.glob(os.path.join(ckpt_path, "*.pth"))
+                     + _glob.glob(os.path.join(ckpt_path, "*.pt")))
+    if not fns:
+        raise FileNotFoundError(f"no Meta-llama checkpoint files in {ckpt_path}")
+    shards = []
+    for fn in fns:
+        sd = torch.load(fn, map_location="cpu", weights_only=True)
+        shards.append({k: v.float().numpy() for k, v in sd.items()
+                       if not k.endswith(".inv_freq")})
+    merged = merge_meta_llama_shards(shards)
+    cfg = engine.model.config
+    engine.params = from_meta_llama(merged, cfg)
+    from .checkpoint_manager import _active_layout, _relayout
+
+    layout = _active_layout()
+    if layout is not None:
+        engine.params = _relayout(engine.params, layout[0])
+    return True
+
+
 def register_external_load_funcs():
     from .checkpoint_manager import register_load_func
 
     register_load_func("hf_llama", try_load_hf_llama_ckpt)
+    register_load_func("llama", try_load_meta_llama_ckpt)
 
 
 register_external_load_funcs()

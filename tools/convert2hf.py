@@ -31,7 +31,8 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--ckpt", required=True, help="internevo checkpoint dir")
     parser.add_argument("--out", required=True)
-    parser.add_argument("--format", default="llama", choices=["llama", "internlm2"])
+    parser.add_argument("--format", default="llama",
+                        choices=["llama", "internlm", "internlm2"])
     parser.add_argument("--dtype", default="float16")
     args = parser.parse_args()
 
@@ -40,7 +41,9 @@ def main():
 
     import orbax.checkpoint as ocp
 
-    from internevo_tpu.checkpoint.convert import to_hf_internlm2, to_hf_llama
+    from internevo_tpu.checkpoint.convert import (
+        to_hf_internlm, to_hf_internlm2, to_hf_llama,
+    )
     from internevo_tpu.initialize.launch import launch
     from internevo_tpu.train.pipeline import initialize_model
 
@@ -49,7 +52,8 @@ def main():
     ckptr = ocp.StandardCheckpointer()
     params = ckptr.restore(Path(args.ckpt).resolve() / "arrays_model", {"params": params})["params"]
 
-    convert = to_hf_llama if args.format == "llama" else to_hf_internlm2
+    convert = {"llama": to_hf_llama, "internlm": to_hf_internlm,
+               "internlm2": to_hf_internlm2}[args.format]
     sd = convert(params, model.config)
     os.makedirs(args.out, exist_ok=True)
     torch_dtype = getattr(torch, args.dtype)
@@ -57,8 +61,10 @@ def main():
     torch.save(torch_sd, os.path.join(args.out, "pytorch_model.bin"))
 
     cfg = model.config
+    arch = {"llama": "LlamaForCausalLM", "internlm": "InternLMForCausalLM",
+            "internlm2": "InternLM2ForCausalLM"}[args.format]
     hf_config = {
-        "architectures": ["LlamaForCausalLM" if args.format == "llama" else "InternLM2ForCausalLM"],
+        "architectures": [arch],
         "hidden_size": cfg.hidden_size,
         "intermediate_size": cfg.mlp_hidden,
         "num_hidden_layers": cfg.num_layers,
@@ -69,9 +75,11 @@ def main():
         "rope_theta": cfg.rope_base,
         "max_position_embeddings": cfg.max_position_embeddings,
         "torch_dtype": args.dtype,
-        "model_type": "llama" if args.format == "llama" else "internlm2",
+        "model_type": args.format,
         "tie_word_embeddings": False,
     }
+    if args.format == "internlm":
+        hf_config["bias"] = True  # HF InternLM1 carries qkv/o biases
     with open(os.path.join(args.out, "config.json"), "w") as f:
         json.dump(hf_config, f, indent=2)
     print(f"wrote {args.out}/pytorch_model.bin + config.json ({len(torch_sd)} tensors)")

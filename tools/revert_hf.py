@@ -7,7 +7,7 @@ Here the output is one topology-free orbax checkpoint usable with
 
 Usage:
     python tools/revert_hf.py --config configs/7B_llama2.py \
-        --hf_path <hf folder> --out llm_ckpts/imported [--format llama|internlm2]
+        --hf_path <hf folder> --out llm_ckpts/imported [--format llama|internlm|internlm2]
 """
 
 from __future__ import annotations
@@ -29,14 +29,16 @@ def main():
     parser.add_argument("--config", required=True)
     parser.add_argument("--hf_path", required=True)
     parser.add_argument("--out", required=True)
-    parser.add_argument("--format", default="llama", choices=["llama", "internlm2"])
+    parser.add_argument("--format", default="llama", choices=["llama", "internlm", "internlm2"])
     args = parser.parse_args()
 
     from pathlib import Path
 
     import orbax.checkpoint as ocp
 
-    from internevo_tpu.checkpoint.convert import from_hf_internlm2, from_hf_llama
+    from internevo_tpu.checkpoint.convert import (
+        from_hf_internlm, from_hf_internlm2, from_hf_llama,
+    )
     from internevo_tpu.initialize.launch import launch
     from internevo_tpu.train.pipeline import initialize_model
 
@@ -56,7 +58,8 @@ def main():
         hf = AutoModelForCausalLM.from_pretrained(args.hf_path, trust_remote_code=True)
         sd = {k: v.detach().cpu().float().numpy() for k, v in hf.state_dict().items()}
 
-    convert = from_hf_llama if args.format == "llama" else from_hf_internlm2
+    convert = {"llama": from_hf_llama, "internlm": from_hf_internlm,
+               "internlm2": from_hf_internlm2}[args.format]
     params = convert(sd, model.config)
 
     out = Path(args.out).resolve()
