@@ -73,6 +73,16 @@ def build_bench_config(preset: str):
                     micro_bsz=4, micro_num=1, ckpt=1.0,
                     model_type="INTERNLM_MoE", experts=8, top_k=2,
                     flops_mlp_ratio=16 / 3),
+        # MoE at REALISTIC expert shapes: hidden 2048 -> per-expert 2048x5632
+        # matmuls with ~4k rows/expert (top-2 of 16k tokens over 8 experts) —
+        # the regime where the gmm kernel's margin and MXU saturation can show
+        # (the `moe` preset's 1024x2816 experts structurally cannot saturate
+        # the MXU; round-4 verdict #1).  Full adam state for 2.1B params does
+        # not fit a 16GB chip -> fwd_bwd_only, like 7bshape.
+        "moe_7bshape": dict(hidden=2048, layers=4, heads=16, vocab=50304, seq=2048,
+                            micro_bsz=4, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
+                            model_type="INTERNLM_MoE", experts=8, top_k=2,
+                            flops_mlp_ratio=16 / 3, save_mlp=False),
         # long-context kernel regression guard: flagship 7B dims at seq 8192
         # (one 8192-token segment), fwd+bwd only like 7bshape — catches splash
         # grid/window regressions the 2048-seq presets cannot see

@@ -84,3 +84,11 @@ class Engine:
     def run_eval_step(self, batch: dict) -> dict:
         assert self.eval_step_fn is not None
         return self.eval_step_fn(self.params, batch)
+
+    def lower_step(self, batch: dict):
+        """Compiled object for the current train step (memory reports): hits
+        the jit compile cache, traces by aval only — no execution, no donation."""
+        step = self.step_count
+        lr = self.lr_scheduler.get_lr(step)
+        beta2 = self.beta2_scheduler.get_beta2(step + 1) if self.beta2_scheduler else None
+        return self.train_step_fn.lower(self.params, self.opt_state, batch, lr, beta2).compile()

@@ -30,12 +30,19 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
                             dropout_rng=None, is_train: bool = True):
     cfg = model.config
     moe_loss = jnp.zeros((), jnp.float32)
-    if fused_ce and getattr(cfg, "num_experts", 1) <= 1 and cfg.norm_type == "rmsnorm":
-        # fused norm+head+CE: never materializes the (tokens, vocab) logits
+    if fused_ce and cfg.norm_type == "rmsnorm":
+        # fused norm+head+CE: never materializes the (tokens, vocab) logits.
+        # MoE models return (hidden, {"moe": aux}) here — the moe step's CE was
+        # the profile's #3 cost (~15 ms at the moe preset) before this reuse.
         from ...ops.fused_ce import fused_norm_head_ce, gpc_loss_knobs
 
-        hidden = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
-                             dropout_rng=dropout_rng, train=is_train, return_hidden=True)
+        out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
+                          dropout_rng=dropout_rng, train=is_train, return_hidden=True)
+        if isinstance(out, tuple):
+            hidden, aux = out
+            moe_loss = aux.get("moe", moe_loss)
+        else:
+            hidden = out
         nll_sum, n_valid, n_correct = fused_norm_head_ce(
             hidden, params["norm"], params["head"]["kernel"], micro["labels"],
             eps=cfg.layer_norm_epsilon, embed_grad_scale=cfg.embed_grad_scale,
@@ -43,7 +50,8 @@ def _micro_loss_and_metrics(model: ModelDef, params, micro, label_smoothing: flo
             **gpc_loss_knobs(),
         )
         ce_loss = nll_sum / jnp.maximum(n_valid, 1)
-        return ce_loss, (ce_loss, n_valid, n_correct, moe_loss)
+        loss = ce_loss + moe_loss_coeff * moe_loss
+        return loss, (ce_loss, n_valid, n_correct, moe_loss)
 
     out = model.apply(params, micro["input_ids"], micro["indexes"], micro["segment_ids"],
                       dropout_rng=dropout_rng, train=is_train)

@@ -101,7 +101,8 @@ def moe_param_specs(cfg: ModelConfig) -> dict:
 
 
 def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segment_ids,
-                      dropout_rng: Optional[jax.Array] = None, train: bool = True):
+                      dropout_rng: Optional[jax.Array] = None, train: bool = True,
+                      return_hidden: bool = False):
     x = embed_tokens(cfg, params, input_ids)
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
@@ -192,9 +193,12 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
         tail_xs = jax.tree.map(lambda a: a[n_ckpt:], xs_all)
         carry, _ = jax.lax.scan(full, carry, head_xs)
         (x, moe_loss), _ = jax.lax.scan(light, carry, tail_xs)
-    logits = head_logits(cfg, params, x)
     # SUM of per-layer aux losses (reference no_pipeline_scheduler.py:134:
     # sum(moe_losses) * coeff — NOT the mean)
+    if return_hidden:
+        # fused norm+head+CE path: hand back the pre-final-norm hidden states
+        return x, {"moe": moe_loss}
+    logits = head_logits(cfg, params, x)
     return logits, {"moe": moe_loss}
 
 

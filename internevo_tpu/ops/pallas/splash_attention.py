@@ -65,6 +65,24 @@ def _interpret_default() -> bool:
     return jax.default_backend() == "cpu"
 
 
+def _use_bsd(D: int) -> bool:
+    """BSD layout: the kernels read/write (B, S, H*D) arrays directly, slicing
+    one head's (block, D) tile off the lane dimension per chain — a free,
+    128-aligned lane slice.  Kills EVERY HBM transpose around the kernel: the
+    wqkv matmul's natural (B, S, H, D) output feeds the kernel as a bitcast,
+    and under full remat the backward's operand recompute shrinks from
+    "rotary + (B,S,H,D)->(B,H,S,D) transposes" (21.9 ms/step at 700m, the
+    step's top op) to the rotary elementwise alone.  Requires 128-aligned
+    head slices; other head dims keep the head-major path."""
+    env = os.environ.get("IEVO_FLASH_BSD")
+    if env is not None:
+        return env not in ("0", "false", "False")
+    # default OFF until measured on real TPU hardware: the axon tunnel died
+    # mid-round-5 before the first BSD compile finished (doc/perf_notes.md);
+    # interpret-mode correctness is fully covered by tests either way
+    return False
+
+
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
@@ -536,15 +554,125 @@ def _fwd_kernel(
             G, block_q, SUBLANES)
 
 
+def _fwd_kernel_bsd(
+    # scalar prefetch as _fwd_kernel; BSD refs: q/o (1, block_q, G*D),
+    # k/v (1, block_k, gk*D), lse (1, G, block_q, SUBLANES)
+    iq_of, j_of, last_of, kvblk, run_f, mask_f, *rest,
+    scale: float, causal: bool, block_q: int, block_k: int,
+    use_segments: bool, q_per_kv: int, gk: int, head_dim: int,
+    dropout_rate: float = 0.0,
+):
+    """BSD-layout forward: identical math to ``_fwd_kernel`` at per-head
+    granularity — each head is a free 128-aligned lane slice of the block, so
+    the grid, control arrays, and m/l/acc bookkeeping are unchanged while the
+    HBM arrays stay in the model's natural (B, S, H*D) layout."""
+    if dropout_rate > 0.0:
+        dropseed, *rest = rest
+    (q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref,
+     o_ref, lse_ref, acc_sc, m_sc, l_sc) = rest
+    t = pl.program_id(2)
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    D = head_dim
+    G = gk * q_per_kv
+
+    @pl.when(j_of[t] == 0)
+    def _init():
+        acc_sc[:] = jnp.zeros_like(acc_sc)
+        m_sc[:] = jnp.full_like(m_sc, NEG_INF)
+        l_sc[:] = jnp.zeros_like(l_sc)
+
+    q_start = iq_of[t] * block_q
+    k_start = kvblk[b, t] * block_k
+
+    def update(hq, g, s, mask, needs_mask):
+        if needs_mask:
+            s = jnp.where(mask, s, DEFAULT_MASK_VALUE)
+        rows = slice(hq * block_q, (hq + 1) * block_q)
+        m_prev = m_sc[rows, :1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp2(s - m_new)
+        if needs_mask:
+            p = jnp.where(m_new > 0.5 * DEFAULT_MASK_VALUE, p, 0.0)
+        correction = jnp.exp2(m_prev - m_new)
+        l_new = l_sc[rows, :1] * correction + jnp.sum(p, axis=1, keepdims=True)
+        v = v_ref[0, :, g * D:(g + 1) * D]
+        p_v = p
+        if dropout_rate > 0.0:
+            drop = _dropout_scale(block_q, block_q, block_k,
+                                  q_start + dropseed[1], k_start + dropseed[2],
+                                  (hg * gk + g) * q_per_kv + (hq % q_per_kv)
+                                  + dropseed[3],
+                                  _dropout_base(dropseed[0], b + dropseed[4]),
+                                  dropout_rate)
+            p_v = p * drop
+        pv = jax.lax.dot_general(p_v.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc_sc[rows, :] = acc_sc[rows, :] * correction + pv
+        m_sc[rows, :] = jnp.broadcast_to(m_new, (block_q, m_sc.shape[1]))
+        l_sc[rows, :] = jnp.broadcast_to(l_new, (block_q, l_sc.shape[1]))
+
+    def compute(needs_mask):
+        mask = (_block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal,
+                            use_segments, block_q, block_k)
+                if needs_mask else None)
+        for g in range(gk):
+            k = k_ref[0, :, g * D:(g + 1) * D]
+            for h in range(q_per_kv):
+                hq = g * q_per_kv + h
+                q = q_ref[0, :, hq * D:(hq + 1) * D]
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * (scale * LOG2E)
+                update(hq, g, s, mask, needs_mask)
+
+    @pl.when(run_f[b, t] == 1)
+    def _():
+        if not (causal or use_segments):
+            compute(False)
+            return
+
+        @pl.when(mask_f[b, t] == 1)
+        def _masked():
+            compute(True)
+
+        @pl.when(mask_f[b, t] == 0)
+        def _plain():
+            compute(False)
+
+    @pl.when(last_of[t] == 1)
+    def _finalize():
+        l = l_sc[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        for hq in range(G):
+            rows = slice(hq * block_q, (hq + 1) * block_q)
+            o_ref[0, :, hq * D:(hq + 1) * D] = (
+                acc_sc[rows, :] / l_safe[rows, :]).astype(o_ref.dtype)
+        m = m_sc[:, :1]
+        lse = jnp.where(l == 0.0, NEG_INF, m * LN2 + jnp.log(l_safe))
+        lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], SUBLANES)).reshape(
+            G, block_q, SUBLANES)
+
+
 def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
                     max_segment_len, interpret, cross_kv=False,
                     dropout_rate=0.0, drop_seed=None):
-    """q: (B, Hq, S, D); k/v: (B, Hkv, Sk, D).  ``cross_kv``: q and kv ids
-    come from DIFFERENT ring chunks — segment windows are meaningless (a q
-    segment may continue anywhere in the kv chunk), so only the elementwise
-    masks apply."""
-    B, Hq, S, D = q.shape
-    Hkv, Sk = k.shape[1], k.shape[2]
+    """q: (B, S, Hq, D); k/v: (B, Sk, Hkv, D) — the model's natural layout.
+    Returns (out (B, S, Hq, D), lse (B, Hq, S, SUBLANES)).
+
+    BSD layout (``_use_bsd``): the kernel reads (B, S, H*D) bitcasts directly,
+    no transposes anywhere.  Other head dims transpose to the head-major
+    kernel here (and, under remat, in the backward's operand recompute).
+    ``cross_kv``: q and kv ids come from DIFFERENT ring chunks — segment
+    windows are meaningless (a q segment may continue anywhere in the kv
+    chunk), so only the elementwise masks apply."""
+    B, S, Hq, D = q.shape
+    Hkv, Sk = k.shape[2], k.shape[1]
+    bsd = _use_bsd(D)
+    if not bsd:
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
     q_per_kv = Hq // Hkv
     nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
     use_segments = q_seg is not None
@@ -570,6 +698,50 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
     if dropout_rate > 0.0:
         assert drop_seed is not None, "attention dropout needs dropout_seed"
         prefetch.append(drop_seed)
+
+    seg_specs = [
+        pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[0][t], 0)),
+        pl.BlockSpec((1, SUBLANES, block_k), lambda b, hg, t, *s: (b, 0, s[3][b, t])),
+    ]
+    lse_shape = jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32)
+    scratch = [
+        pltpu.VMEM((G * block_q, D), jnp.float32),
+        pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
+        pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
+    ]
+
+    if bsd:
+        kernel = functools.partial(
+            _fwd_kernel_bsd, scale=scale, causal=causal, block_q=block_q,
+            block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv,
+            gk=gk, head_dim=D, dropout_rate=float(dropout_rate))
+        qf = q.reshape(B, S, Hq * D)
+        kf = k.reshape(B, Sk, Hkv * D)
+        vf = v.reshape(B, Sk, Hkv * D)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=len(prefetch),
+            grid=(B, Hq // G, T),
+            in_specs=seg_specs + [
+                pl.BlockSpec((1, block_q, G * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[3][b, t], hg)),
+                pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[3][b, t], hg)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, G * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                pl.BlockSpec((1, G, block_q, SUBLANES),
+                             lambda b, hg, t, *s: (b, hg, s[0][t], 0)),
+            ],
+            scratch_shapes=scratch,
+        )
+        out, lse = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            compiler_params=_compiler_params(interpret),
+            out_shape=[jax.ShapeDtypeStruct(qf.shape, q.dtype), lse_shape],
+            interpret=interpret,
+        )(*prefetch, q_seg_b, kv_seg_b, qf, kf, vf)
+        return out.reshape(B, S, Hq, D), lse
+
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, use_segments=use_segments, q_per_kv=q_per_kv, gk=gk,
@@ -584,11 +756,7 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=len(prefetch),
         grid=(B, Hq // G, T),
-        in_specs=[
-            pl.BlockSpec((1, block_q, LANES),
-                         lambda b, hg, t, *s: (b, s[0][t], 0)),
-            pl.BlockSpec((1, SUBLANES, block_k),
-                         lambda b, hg, t, *s: (b, 0, s[3][b, t])),
+        in_specs=seg_specs + [
             pl.BlockSpec((1, G, block_q, D), q_idx),
             pl.BlockSpec((1, gk, block_k, D), kv_idx),
             pl.BlockSpec((1, gk, block_k, D), kv_idx),
@@ -597,11 +765,7 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
             pl.BlockSpec((1, G, block_q, D), q_idx),
             pl.BlockSpec((1, G, block_q, SUBLANES), q_idx),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((G * block_q, D), jnp.float32),
-            pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
-            pltpu.VMEM((G * block_q, SUBLANES), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -609,11 +773,11 @@ def _splash_forward(q, k, v, q_seg, kv_seg, scale, causal, block_q, block_k,
         compiler_params=_compiler_params(interpret),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((B, Hq, S, SUBLANES), jnp.float32),
+            lse_shape,
         ],
         interpret=interpret,
     )(*prefetch, q_seg_b, kv_seg_b, q, k, v)
-    return out, lse
+    return out.transpose(0, 2, 1, 3), lse
 
 
 # ----------------------------------------------------------------- backward
@@ -816,6 +980,131 @@ def _bwd_kernel(
         dq_ref[0] = (dq_sc[:] * scale).astype(dq_ref.dtype)
 
 
+def _bwd_kernel_bsd(
+    # dropseed joins the prefetch ONLY when dropout_rate > 0
+    ik_of, j_of, last_of, qblk, run_f, mask_f, *rest,
+    scale: float, causal: bool, block_q: int, block_k: int,
+    use_segments: bool, q_per_kv: int, gk: int, n_steps: int, head_dim: int,
+    dropout_rate: float = 0.0, qpk_full: int = 0, head_c0: int = 0,
+):
+    """BSD-layout fused backward: the ``_bwd_kernel`` chain schedule with each
+    head a free 128-aligned lane slice of (1, block, G*D) refs — dq/dk/dv are
+    written in the model's natural (B, S, H*D) layout, so neither the operand
+    recompute nor the grad consumers pay HBM transposes."""
+    if dropout_rate > 0.0:
+        dropseed, *rest = rest
+    (q_seg_ref, kv_seg_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+     dq_ref, dk_ref, dv_ref, dq_sc, dk_sc, dv_sc) = rest
+    t = pl.program_id(2)
+    b = pl.program_id(0)
+    hg = pl.program_id(1)
+    D = head_dim
+
+    @pl.when(t == 0)
+    def _init_dq():
+        dq_sc[:] = jnp.zeros_like(dq_sc)
+
+    @pl.when(j_of[t] == 0)
+    def _init_dkv():
+        dk_sc[:] = jnp.zeros_like(dk_sc)
+        dv_sc[:] = jnp.zeros_like(dv_sc)
+
+    q_start = qblk[b, t] * block_q
+    k_start = ik_of[t] * block_k
+
+    def compute(needs_mask):
+        # depth-1 software pipeline over per-head chains (see _bwd_kernel)
+        mask = (_block_mask(q_seg_ref, kv_seg_ref, q_start, k_start, causal,
+                            use_segments, block_q, block_k)
+                if needs_mask else None)
+        chains = [(g, h) for g in range(gk) for h in range(q_per_kv)]
+
+        def head_mxu(ci):
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            q = q_ref[0, :, hq * D:(hq + 1) * D]
+            do = do_ref[0, :, hq * D:(hq + 1) * D]
+            k = k_ref[0, :, g * D:(g + 1) * D]
+            v = v_ref[0, :, g * D:(g + 1) * D]
+            s_ = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32) * (scale * LOG2E)
+            dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            return s_, dp
+
+        def vpu_mid(ci, s_, dp):
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            lse = lse_ref[0, hq, :, :1]
+            delta = delta_ref[0, hq, :, :1]
+            p = jnp.exp2(s_ - lse)
+            if needs_mask:
+                p = jnp.where(mask, p, 0.0)
+            if dropout_rate > 0.0:
+                h_glob = (hg * gk + g) * qpk_full + head_c0 + h + dropseed[3]
+                drop = _dropout_scale(block_q, block_q, block_k,
+                                      q_start + dropseed[1],
+                                      k_start + dropseed[2], h_glob,
+                                      _dropout_base(dropseed[0], b + dropseed[4]),
+                                      dropout_rate)
+                pb = (p * drop).astype(do_ref.dtype)
+                ds = (p * (dp * drop - delta)).astype(q_ref.dtype)
+                return pb, ds
+            ds = (p * (dp - delta)).astype(q_ref.dtype)
+            return p.astype(do_ref.dtype), ds
+
+        def tail_mxu(ci, pb, ds):
+            g, h = chains[ci]
+            hq = g * q_per_kv + h
+            drows = slice(g * D, (g + 1) * D)
+            dv_sc[drows, :] += jax.lax.dot_general(
+                do_ref[0, :, hq * D:(hq + 1) * D], pb, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dk_sc[drows, :] += jax.lax.dot_general(
+                q_ref[0, :, hq * D:(hq + 1) * D], ds, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dq_sc[hq, pl.ds(q_start, block_q), :] += jax.lax.dot_general(
+                ds, k_ref[0, :, g * D:(g + 1) * D], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        pending = head_mxu(0)
+        for ci in range(len(chains)):
+            nxt = head_mxu(ci + 1) if ci + 1 < len(chains) else None
+            pb, ds = vpu_mid(ci, *pending)
+            tail_mxu(ci, pb, ds)
+            pending = nxt
+
+    @pl.when(run_f[b, t] == 1)
+    def _():
+        if not (causal or use_segments):
+            compute(False)
+            return
+
+        @pl.when(mask_f[b, t] == 1)
+        def _masked():
+            compute(True)
+
+        @pl.when(mask_f[b, t] == 0)
+        def _plain():
+            compute(False)
+
+    @pl.when(last_of[t] == 1)
+    def _finalize_dkv():
+        # D-major scratch flipped to natural (block_k, D) lane slices in VMEM,
+        # once per kv block (same trade as _bwd_kernel's finalize)
+        for g in range(gk):
+            drows = slice(g * D, (g + 1) * D)
+            dk_ref[0, :, g * D:(g + 1) * D] = (
+                dk_sc[drows, :] * scale).T.astype(dk_ref.dtype)
+            dv_ref[0, :, g * D:(g + 1) * D] = dv_sc[drows, :].T.astype(dv_ref.dtype)
+
+    @pl.when(t == n_steps - 1)
+    def _finalize_dq():
+        for hq in range(gk * q_per_kv):
+            dq_ref[0, :, hq * D:(hq + 1) * D] = (
+                dq_sc[hq] * scale).astype(dq_ref.dtype)
+
+
 def _splash_backward(res, g, *, scale, causal, block_q, block_k,
                      max_segment_len, interpret, dlse=None, cross_kv=False,
                      dropout_rate=0.0):
@@ -823,8 +1112,12 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
     if dropout_rate > 0.0:
         assert drop_seed is not None, "attention dropout needs dropout_seed"
     do = g
-    B, Hq, S, D = q.shape
-    Hkv, Sk = k.shape[1], k.shape[2]
+    # residuals arrive in the model's natural (B, S, H, D) layout (BSD path
+    # saves them untransposed; head-major kernels transpose here, which under
+    # remat is exactly the old operand-recompute cluster)
+    B, S, Hq, D = q.shape
+    Hkv, Sk = k.shape[2], k.shape[1]
+    bsd = _use_bsd(D)
     q_per_kv = Hq // Hkv
     nq, nk = _cdiv(S, block_q), _cdiv(Sk, block_k)
     if cross_kv:
@@ -839,7 +1132,12 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         kv_seg = jnp.zeros((B, Sk), jnp.int32)
         q_hi = jnp.full((B, nk), nq - 1, jnp.int32)
 
-    delta = jnp.einsum("bhsd,bhsd->bhs", do.astype(jnp.float32), out.astype(jnp.float32))
+    delta = jnp.einsum("bshd,bshd->bhs", do.astype(jnp.float32), out.astype(jnp.float32))
+    if not bsd:
+        q = q.transpose(0, 2, 1, 3)
+        k = k.transpose(0, 2, 1, 3)
+        v = v.transpose(0, 2, 1, 3)
+        do = do.transpose(0, 2, 1, 3)
     if dlse is not None:
         delta = delta - dlse.astype(jnp.float32)
     delta = jax.lax.broadcast_in_dim(delta, (B, Hq, S, SUBLANES), (0, 1, 2))
@@ -866,15 +1164,67 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
         chunked calls by the caller."""
         G = gk * qpk_c
 
+        prefetch = [ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f]
+        if dropout_rate > 0.0:
+            prefetch.append(drop_seed)
+        if bsd:
+            # (B, S, H*D) flat views; each head is a lane slice in-kernel
+            HqC = q_c.shape[2]
+            qf = q_c.reshape(B, S, HqC * D)
+            dof = do_c.reshape(B, S, HqC * D)
+            kf = k.reshape(B, Sk, Hkv * D)
+            vf = v.reshape(B, Sk, Hkv * D)
+            bwd_spec = pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=len(prefetch),
+                grid=(B, Hkv // gk, Tk),
+                in_specs=[
+                    pl.BlockSpec((1, block_q, LANES), lambda b, hg, t, *s: (b, s[3][b, t], 0)),
+                    pl.BlockSpec((1, SUBLANES, block_k), lambda b, hg, t, *s: (b, 0, s[0][t])),
+                    pl.BlockSpec((1, block_q, G * D), lambda b, hg, t, *s: (b, s[3][b, t], hg)),
+                    pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                    pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                    pl.BlockSpec((1, block_q, G * D), lambda b, hg, t, *s: (b, s[3][b, t], hg)),
+                    pl.BlockSpec((1, G, block_q, SUBLANES),
+                                 lambda b, hg, t, *s: (b, hg, s[3][b, t], 0)),
+                    pl.BlockSpec((1, G, block_q, SUBLANES),
+                                 lambda b, hg, t, *s: (b, hg, s[3][b, t], 0)),
+                ],
+                out_specs=[
+                    pl.BlockSpec((1, S, G * D), lambda b, hg, t, *s: (b, 0, hg)),
+                    pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                    pl.BlockSpec((1, block_k, gk * D), lambda b, hg, t, *s: (b, s[0][t], hg)),
+                ],
+                scratch_shapes=[
+                    pltpu.VMEM((G, S, D), jnp.float32),
+                    pltpu.VMEM((gk * D, block_k), jnp.float32),
+                    pltpu.VMEM((gk * D, block_k), jnp.float32),
+                ],
+            )
+            dqf, dkf, dvf = pl.pallas_call(
+                functools.partial(_bwd_kernel_bsd, scale=scale, causal=causal,
+                                  block_q=block_q, block_k=block_k,
+                                  use_segments=use_segments, q_per_kv=qpk_c,
+                                  gk=gk, n_steps=Tk, head_dim=D,
+                                  dropout_rate=float(dropout_rate),
+                                  qpk_full=q_per_kv, head_c0=head_c0),
+                grid_spec=bwd_spec,
+                compiler_params=_compiler_params(interpret),
+                out_shape=[
+                    jax.ShapeDtypeStruct(qf.shape, q_c.dtype),
+                    jax.ShapeDtypeStruct(kf.shape, k.dtype),
+                    jax.ShapeDtypeStruct(vf.shape, v.dtype),
+                ],
+                interpret=interpret,
+            )(*prefetch, q_seg_b, kv_seg_b, qf, kf, vf, dof, lse_c, delta_c)
+            return (dqf.reshape(B, S, HqC, D), dkf.reshape(B, Sk, Hkv, D),
+                    dvf.reshape(B, Sk, Hkv, D))
+
         def kv_idx2(b, hg, t, *s):
             return (b, hg, s[0][t], 0)
 
         def q_idx2(b, hg, t, *s):
             return (b, hg, s[3][b, t], 0)
 
-        prefetch = [ik_of, jk_of, lastk_of, qblk, runk_f, maskk_f]
-        if dropout_rate > 0.0:
-            prefetch.append(drop_seed)
         bwd_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=len(prefetch),
             grid=(B, Hkv // gk, Tk),
@@ -922,20 +1272,43 @@ def _splash_backward(res, g, *, scale, causal, block_q, block_k,
     else:
         # chunk the GQA group: heads for kv head k occupy q indices
         # [k*q_per_kv, (k+1)*q_per_kv); slice per-kv-head sub-ranges
-        def grouped(a):
+        def grouped_hm(a):  # head-major (B, Hq, ...) operands (lse/delta)
             return a.reshape(B, Hkv, q_per_kv, *a.shape[2:])
 
-        qg, dog, lseg, deltag = grouped(q), grouped(do), grouped(lse), grouped(delta)
+        if bsd:
+            qg = q.reshape(B, S, Hkv, q_per_kv, D)
+            dog = do.reshape(B, S, Hkv, q_per_kv, D)
+            sel_q = lambda a, c0, c1: a[:, :, :, c0:c1].reshape(
+                B, S, Hkv * (c1 - c0), D)
+        else:
+            qg = grouped_hm(q)
+            dog = grouped_hm(do)
+            sel_q = lambda a, c0, c1: a[:, :, c0:c1].reshape(
+                B, Hkv * (c1 - c0), *a.shape[3:])
+        lseg, deltag = grouped_hm(lse), grouped_hm(delta)
+        sel_hm = lambda a, c0, c1: a[:, :, c0:c1].reshape(
+            B, Hkv * (c1 - c0), *a.shape[3:])
         dq_parts, dk, dv = [], None, None
         for c0 in range(0, q_per_kv, q_chunk):
             c1 = c0 + q_chunk
-            sel = lambda a: a[:, :, c0:c1].reshape(B, Hkv * q_chunk, *a.shape[3:])
-            dq_c, dk_c, dv_c = run(sel(qg), sel(dog), sel(lseg), sel(deltag),
+            dq_c, dk_c, dv_c = run(sel_q(qg, c0, c1), sel_q(dog, c0, c1),
+                                   sel_hm(lseg, c0, c1), sel_hm(deltag, c0, c1),
                                    q_chunk, 1, head_c0=c0)
-            dq_parts.append(dq_c.reshape(B, Hkv, q_chunk, S, D))
+            if bsd:
+                dq_parts.append(dq_c.reshape(B, S, Hkv, q_chunk, D))
+            else:
+                dq_parts.append(dq_c.reshape(B, Hkv, q_chunk, S, D))
             dk = dk_c if dk is None else dk + dk_c
             dv = dv_c if dv is None else dv + dv_c
-        dq = jnp.concatenate(dq_parts, axis=2).reshape(B, Hq, S, D)
+        if bsd:
+            dq = jnp.concatenate(dq_parts, axis=3).reshape(B, S, Hq, D)
+        else:
+            dq = jnp.concatenate(dq_parts, axis=2).reshape(B, Hq, S, D)
+    if not bsd:
+        # cotangents must match the natural (B, S, H, D) primal layout
+        dq = dq.transpose(0, 2, 1, 3)
+        dk = dk.transpose(0, 2, 1, 3)
+        dv = dv.transpose(0, 2, 1, 3)
     return dq, dk, dv, None, None, None
 
 
@@ -1061,18 +1434,15 @@ def splash_attention_with_lse(
     cross = kv_segment_ids is not None and kv_segment_ids is not segment_ids
     if kv_segment_ids is None:
         kv_segment_ids = segment_ids
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
     if dropout_rate > 0.0:
         assert dropout_seed is not None, "attention dropout needs dropout_seed"
     # rate 0 must stay operand-identical to a dropout-free kernel (bit-exact
     # and free): no seed rides through the vjp or the scalar prefetch
     seed_arr = _norm_seed(dropout_seed) if dropout_rate > 0.0 else None
-    out, lse = _splash_lse(qt, kt, vt, segment_ids, kv_segment_ids, seed_arr,
+    out, lse = _splash_lse(q, k, v, segment_ids, kv_segment_ids, seed_arr,
                            scale, causal, block_q, block_k, max_segment_len,
                            interpret, cross, float(dropout_rate))
-    return out.transpose(0, 2, 1, 3), lse
+    return out, lse
 
 
 def splash_attention(
@@ -1126,11 +1496,7 @@ def splash_attention(
                                    softmax_scale=scale, causal=causal,
                                    dropout_rate=dropout_rate,
                                    dropout_seed=dropout_seed)
-    qt = q.transpose(0, 2, 1, 3)
-    kt = k.transpose(0, 2, 1, 3)
-    vt = v.transpose(0, 2, 1, 3)
     seed_arr = _norm_seed(dropout_seed) if dropout_rate > 0.0 else None
-    out = _splash(qt, kt, vt, segment_ids, segment_ids, seed_arr, scale, causal,
-                  block_q, block_k, max_segment_len, interpret,
-                  float(dropout_rate))
-    return out.transpose(0, 2, 1, 3)
+    return _splash(q, k, v, segment_ids, segment_ids, seed_arr, scale, causal,
+                   block_q, block_k, max_segment_len, interpret,
+                   float(dropout_rate))

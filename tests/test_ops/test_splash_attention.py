@@ -411,3 +411,117 @@ def test_stacked_backward_matches_chain_backward(monkeypatch):
     for a, c, name in zip(g_s, g_r, "qkv"):
         np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-5,
                                    atol=5e-5, err_msg=f"d{name} vs ref")
+
+
+# ------------------------------------------------------------ BSD layout path
+
+
+@pytest.mark.parametrize("gqa", [False, True])
+@pytest.mark.parametrize("max_seg", [None, 128])
+def test_bsd_layout_matches_reference(monkeypatch, gqa, max_seg):
+    """BSD (B, S, H*D) kernel layout (``_use_bsd``): forward AND gradients
+    must match the dense reference — the layout only changes how heads are
+    sliced off the lane dimension, not the math."""
+    monkeypatch.setenv("IEVO_FLASH_BSD", "1")
+    B, S, D = 1, 512, 64
+    Hq, Hkv = (4, 2) if gqa else (2, 2)
+    q = _rand((B, S, Hq, D), 0)
+    k = _rand((B, S, Hkv, D), 1)
+    v = _rand((B, S, Hkv, D), 2)
+    seg = _packed_segments(B, S, 128)
+    kw = dict(segment_ids=seg, causal=True, block_q=128, block_k=128,
+              max_segment_len=max_seg, interpret=True)
+
+    out = splash_attention(q, k, v, **kw)
+    out_ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(out, out_ref, rtol=2e-5, atol=2e-5)
+
+    def loss_s(q, k, v):
+        return jnp.sum(jnp.sin(splash_attention(q, k, v, **kw)))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(
+            q, k, v, segment_ids=seg, causal=True)))
+
+    g_s = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, c, name in zip(g_s, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-5,
+                                   atol=5e-5, err_msg=f"d{name} vs ref")
+
+
+def test_bsd_matches_head_major_bitwise(monkeypatch):
+    """The two layouts run the same math in the same order per head — outputs
+    and grads must agree to fp32 tolerance on identical inputs."""
+    B, S, Hq, Hkv, D = 1, 512, 4, 2, 64
+    q = _rand((B, S, Hq, D), 0)
+    k = _rand((B, S, Hkv, D), 1)
+    v = _rand((B, S, Hkv, D), 2)
+    seg = _packed_segments(B, S, 128)
+    kw = dict(segment_ids=seg, causal=True, block_q=128, block_k=128,
+              max_segment_len=128, interpret=True)
+
+    def loss(q, k, v):
+        o = splash_attention(q, k, v, **kw)
+        return jnp.sum(o * jnp.cos(o))
+
+    monkeypatch.setenv("IEVO_FLASH_BSD", "0")
+    out_hm = splash_attention(q, k, v, **kw)
+    g_hm = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("IEVO_FLASH_BSD", "1")
+    out_bsd = splash_attention(q, k, v, **kw)
+    g_bsd = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out_bsd), np.asarray(out_hm),
+                               rtol=1e-6, atol=1e-6)
+    for a, c, name in zip(g_bsd, g_hm, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5,
+                                   atol=1e-6, err_msg=f"d{name}")
+
+
+def test_bsd_dropout_matches_dense_fallback(monkeypatch):
+    """In-kernel dropout under BSD hashes the same GLOBAL (row, col, head)
+    coordinates as the dense mask — bitwise-identical dropped model."""
+    monkeypatch.setenv("IEVO_FLASH_BSD", "1")
+    from internevo_tpu.ops.pallas.splash_attention import dropout_mask_dense
+
+    B, S, Hq, Hkv, D = 1, 256, 4, 2, 64
+    q = _rand((B, S, Hq, D), 3)
+    k = _rand((B, S, Hkv, D), 4)
+    v = _rand((B, S, Hkv, D), 5)
+    seg = _packed_segments(B, S, 128)
+    seed = jnp.asarray(7, jnp.int32)
+    out = splash_attention(q, k, v, segment_ids=seg, causal=True,
+                           block_q=128, block_k=128, max_segment_len=128,
+                           interpret=True, dropout_rate=0.3, dropout_seed=seed)
+    out_ref = attention_reference(q, k, v, segment_ids=seg, causal=True,
+                                  dropout_rate=0.3, dropout_seed=seed)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_bsd_chunked_wide_gqa(monkeypatch):
+    """BSD + q-head chunking (VMEM-forced): the chunk slicing runs on the
+    (B, S, Hkv, q_per_kv, D) grouping instead of head-major."""
+    monkeypatch.setenv("IEVO_FLASH_BSD", "1")
+    monkeypatch.setenv("IEVO_FLASH_VMEM_MB_BWD", "1")  # force chunking
+    B, S, Hkv, qpk, D = 1, 256, 1, 4, 64
+    Hq = Hkv * qpk
+    q = _rand((B, S, Hq, D), 0)
+    k = _rand((B, S, Hkv, D), 1)
+    v = _rand((B, S, Hkv, D), 2)
+    seg = _packed_segments(B, S, 128)
+    kw = dict(segment_ids=seg, causal=True, block_q=128, block_k=128,
+              max_segment_len=128, interpret=True)
+
+    def loss_s(q, k, v):
+        return jnp.sum(jnp.sin(splash_attention(q, k, v, **kw)))
+
+    def loss_r(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(
+            q, k, v, segment_ids=seg, causal=True)))
+
+    g_s = jax.grad(loss_s, argnums=(0, 1, 2))(q, k, v)
+    g_r = jax.grad(loss_r, argnums=(0, 1, 2))(q, k, v)
+    for a, c, name in zip(g_s, g_r, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-5,
+                                   atol=5e-5, err_msg=f"d{name} vs ref")

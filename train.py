@@ -149,6 +149,11 @@ def main(args):
             p_start = now - last_step_time
             if memory_profiler is not None:
                 memory_profiler.step()
+                if memory_profiler._step == 1:
+                    # one-time XLA-exact report: arg/temp/peak bytes + the
+                    # top-5 live buffers of the compiled step (compile-cache
+                    # hit, trace-only — no execution)
+                    memory_profiler.note_compiled(engine.lower_step(p_batch))
             record_current_batch_training_metrics(
                 get_tflops_func=get_tflops_func,
                 logger_obj=logger,
