@@ -84,16 +84,9 @@ def args_sanity_check() -> None:
     # pipeline_scheduler.py:307-320, and defines MoE under isp — WEIGHT-mode
     # experts + per-rank sequence-split gating, modeling_moe.py:92,420-421):
     # the manual 1F1B stage runs the MoE ffn with an explicit expert a2a under
-    # mtp, msp/fsp and isp.  rsp is the one unsupported mode: its MoE a2a
-    # would sit inside the ring's cond-gated compute sections, and a
-    # stage-divergent cond around a collective deadlocks the mesh — fail
-    # loudly instead of silently degrading.
-    if int(model_cfg.get("num_experts", 1) or 1) > 1 and parallel.pipeline.get("size", 1) > 1:
-        if parallel.tensor.mode == "rsp":
-            raise NotImplementedError(
-                "MoE with pipeline.size > 1 supports tensor modes "
-                "mtp/msp/fsp/isp (got 'rsp'); run rsp MoE at pipeline.size "
-                "== 1 or use isp for sequence-parallel pipelined MoE")
+    # every tensor mode.  rsp runs the MoE ffn UNGATED on idle ticks (the
+    # expert a2a cannot sit inside the ring's cond-gated sections), trading
+    # bubble-tick flops for the composition — see parallel/pipeline.py.
 
     # ---- model defaults
     model = cfg.setdefault("model", Config())

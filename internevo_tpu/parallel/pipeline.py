@@ -412,6 +412,18 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
                          layer["w2"].get("bias"))
         return (mlp_out + res).astype(out_dtype), jnp.zeros((), jnp.float32)
 
+    if "moe" in layer and active is not None:
+        # rsp x MoE x pp: the expert all-to-all cannot sit inside the
+        # stage-divergent cond (collective rendezvous) — run post_attention
+        # UNGATED like the ring's ppermutes, on zero-sanitized inputs (zeros
+        # flow NaN-free through norm/gate/experts), and mask output + aux by
+        # the activity flag.  Idle ticks pay wasted ffn flops on pipeline
+        # bubbles only; active ticks compute exactly what gated() would.
+        ok = active.astype(ctx.dtype) if hasattr(active, "astype") else jnp.float32(active)
+        out, l_aux = post_attention(ctx * ok, residual * ok.astype(residual.dtype))
+        zero_out = jnp.zeros_like(out)
+        return (jnp.where(active, out, zero_out),
+                jnp.where(active, l_aux, jnp.zeros_like(l_aux)))
     return gated(post_attention, ctx, residual)
 
 
@@ -797,13 +809,9 @@ def _1f1b_loss_fn(cfg: ModelConfig, mesh, pp: int, label_smoothing: float = 0.0,
     Lg_all = cfg.num_layers // (C * pp)     # layers per (stage, chunk) unit
     ep_size = mesh.shape.get(EP, 1)
     is_moe = getattr(cfg, "num_experts", 1) > 1
-    if is_moe:
-        # mtp, msp/fsp and isp all compose (per-rank gating on the local token
-        # shard is the reference semantics, modeling_moe.py:420-421); rsp is
-        # the one exception — its MoE a2a would sit inside the ring's
-        # cond-gated compute sections, and a stage-divergent cond around a
-        # collective deadlocks the mesh (launch.py guards this loudly)
-        assert not ring, "MoE x rsp inside the pipeline (launch.py guards this)"
+    # every tensor mode composes with MoE, incl. rsp: the ring block runs the
+    # MoE ffn (and its expert a2a) ungated on idle ticks — see the
+    # active-handling branch in the isp/rsp block function
 
     def stage_fn(blocks, embedding, norm, head, norm_bias,
                  input_ids, positions, segment_ids, labels, rng):

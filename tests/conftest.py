@@ -34,3 +34,17 @@ def _reset_global_context():
     gpc.tensor_mode = "mtp"
     sharding.set_rules(sharding.ShardingRules())
     yield
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "heavy: multi-minute equivalence/e2e tests; deselect with -m quick "
+        "(alias for -m 'not heavy') for the <5 min inner-loop tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    # `-m quick` tier: translate into 'not heavy' at collection time
+    markexpr = config.getoption("-m", default="")
+    if markexpr == "quick":
+        config.option.markexpr = "not heavy"

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.models.moe.gshard import moe_layer_apply, top1gating, top2gating
 from internevo_tpu.ops.attention import set_use_pallas
 
@@ -725,3 +727,66 @@ def test_jitter_gate_policy_perturbs_routing_and_validates():
     np.testing.assert_allclose(np.asarray(out_eval), np.asarray(out_eval2))
     with pytest.raises(ValueError):
         moe_layer_apply(layer, x, noisy_gate_policy="bogus", **base_kwargs)
+
+
+def test_moe_rsp2_matches_dp_at_pp1():
+    """rsp (ring sequence parallel) x MoE at pipeline.size == 1 — the
+    composition the pp>1 guard points users to (launch.py: 'run rsp MoE at
+    pipeline.size == 1').  Ring attention rotates kv over tp while the
+    dropless MoE routes per token; the loss and aux curves must match the
+    unsharded run.  (pp>1 x rsp x MoE stays guarded: the expert a2a would sit
+    inside the ring's cond-gated sections and deadlock — documented.)"""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(9)
+    toks = rng.randint(1, V, (steps, 2, 1, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 1, seq)).astype(np.int32)
+
+    base = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+                pipeline=dict(size=1), weight=dict(size=1))
+    rsp = dict(zero1=dict(size=1), tensor=dict(size=2, mode="rsp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, base), toks, labs, 1, "rows")
+    l2, m2 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, rsp), toks, labs, 2, "rows")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)
+    assert any(m > 0 for m in m2), m2
+
+
+def test_moe_pp2_rsp2_matches_pp1():
+    """rsp x MoE THROUGH the pipeline — beyond-reference composition closed
+    this round: the ring block runs the MoE ffn (and its token a2a) UNGATED on
+    idle ticks with zero-sanitized inputs, so the collective rendezvous is
+    tick-uniform while active ticks reproduce the gated numerics exactly."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(10)
+    toks = rng.randint(1, V, (steps, 2, 1, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 1, seq)).astype(np.int32)
+
+    pp1 = dict(zero1=dict(size=1), tensor=dict(size=1, mode="mtp"),
+               pipeline=dict(size=1), weight=dict(size=1))
+    rsp = dict(zero1=dict(size=1), tensor=dict(size=2, mode="rsp"),
+               pipeline=dict(size=2), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, pp1), toks, labs, 1, "rows")
+    l2, m2 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, rsp), toks, labs, 4, "rows")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)
+    assert any(m > 0 for m in m2), m2
+
+
+def test_moe_pp2_rsp2_ep2_matches_ep1():
+    """rsp x MoE x EP through the pipeline: the ungated expert all-to-all
+    crosses the ep axis on every tick (incl. idle) without deadlock and the
+    curves match the ep=1 run on the same global tokens."""
+    seq, V, steps = 128, 512, 3
+    rng = np.random.RandomState(11)
+    toks = rng.randint(1, V, (steps, 2, 2, seq)).astype(np.int32)
+    labs = rng.randint(0, V, (steps, 2, 2, seq)).astype(np.int32)
+
+    rsp_ep1 = dict(zero1=dict(size=1), tensor=dict(size=2, mode="rsp"),
+                   pipeline=dict(size=2), weight=dict(size=1))
+    rsp_ep2 = dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+                   pipeline=dict(size=2), weight=dict(size=1))
+    l1, m1 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, rsp_ep1), toks, labs, 4, "pack")
+    l2, m2 = _run_moe(_moe_seqpar_cfg(seq, V, steps, 1, rsp_ep2), toks, labs, 8, "pack")
+    np.testing.assert_allclose(l1, l2, rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(m1, m2, rtol=3e-4, atol=3e-5)

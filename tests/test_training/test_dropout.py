@@ -11,6 +11,8 @@ Streams are keyed on (base seed, optimizer step, micro index, layer index).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.ops.attention import set_use_pallas
 from tests.test_training.test_loss import demo_config, run_training
 

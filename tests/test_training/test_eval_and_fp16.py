@@ -4,6 +4,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.ops.attention import set_use_pallas
 
 

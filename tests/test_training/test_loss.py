@@ -12,6 +12,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.core.context import gpc
 from internevo_tpu.data.build_dataloader import build_train_loader_with_data_type
 from internevo_tpu.initialize.launch import launch

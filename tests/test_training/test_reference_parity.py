@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 VOCAB, HIDDEN, HEADS, LAYERS, SEQ = 256, 64, 4, 2, 32
 LR, STEPS = 1e-3, 3
 

@@ -1,4 +1,7 @@
 """Logit parity for the GQA family: our INTERNLM2 vs the reference's.
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
 
 Same harness as test_reference_parity; the reference InternLM2 uses the
 per-kv-group fused wqkv layout natively, so conversion is just transposes.

@@ -19,6 +19,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 S, E, H = 64, 8, 32
 M = 256  # reference FeedForward rounds int(H*8/3)=85 up to multiple_of=256
 
