@@ -40,9 +40,9 @@ def build_bench_config(preset: str):
         # vs 70.0% at 2048 — one (P, V) logits matmul and ONE dW read-modify-
         # write pass instead of four.  The transient bf16 logits (824MB) fit
         # after the lse-residual padding fix freed 1.5GB.
-        "700m": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0,
+        "700m": dict(rotary_bf16=True, hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0,
                      ce_chunk=8192),
-        "700m_m2": dict(hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
+        "700m_m2": dict(rotary_bf16=True, hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
         # 7B-shaped single-chip slice (hidden 4096, vocab 103168, 4 layers,
         # seq 4096 packed 2x2048): validates the splash kernel + fused CE at
         # flagship dimensions.  Full 7B adam state (14B/param) cannot fit one
@@ -50,7 +50,7 @@ def build_bench_config(preset: str):
         # save_mlp: fwd_bwd_only leaves most of HBM free, so the remat
         # policy also keeps the SwiGLU gate activations (700m cannot - the
         # full adam state leaves no headroom and it OOMs)
-        "7bshape": dict(hidden=4096, layers=4, heads=32, vocab=103168, seq=2048,
+        "7bshape": dict(rotary_bf16=True, hidden=4096, layers=4, heads=32, vocab=103168, seq=2048,
                         micro_bsz=2, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
                         save_mlp=True),
         # 7B-dims FULL train step (adam included) — the honest companion to
@@ -61,7 +61,7 @@ def build_bench_config(preset: str):
         # state (~11.4GB at 815M params) fit with activation headroom
         # micro_bsz swept on-chip: 2 -> 59.8%, 4 -> 67.0%, 8 -> 68.4% MFU
         # (bigger micros amortize the ~14ms adam state stream over more tokens)
-        "7bshape_full": dict(hidden=4096, layers=2, heads=32, vocab=50304, seq=2048,
+        "7bshape_full": dict(rotary_bf16=True, hidden=4096, layers=2, heads=32, vocab=50304, seq=2048,
                              micro_bsz=8, micro_num=1, ckpt=1.0),
         "300m": dict(hidden=1024, layers=24, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=0.0),
         # dropless MoE FULL train step on one chip (ep=1 -> the lax.ragged_dot
@@ -69,7 +69,7 @@ def build_bench_config(preset: str):
         # with 8 experts top-2.  MFU uses ACTIVATED flops: top_k experts of
         # per-expert SwiGLU ratio 8/3 -> effective mlp_ratio 16/3 in the
         # megatron formula (the gate matmul is negligible).
-        "moe": dict(hidden=1024, layers=8, heads=16, vocab=50304, seq=2048,
+        "moe": dict(rotary_bf16=True, hidden=1024, layers=8, heads=16, vocab=50304, seq=2048,
                     micro_bsz=4, micro_num=1, ckpt=1.0,
                     model_type="INTERNLM_MoE", experts=8, top_k=2,
                     flops_mlp_ratio=16 / 3),
@@ -79,14 +79,14 @@ def build_bench_config(preset: str):
         # (the `moe` preset's 1024x2816 experts structurally cannot saturate
         # the MXU; round-4 verdict #1).  Full adam state for 2.1B params does
         # not fit a 16GB chip -> fwd_bwd_only, like 7bshape.
-        "moe_7bshape": dict(hidden=2048, layers=4, heads=16, vocab=50304, seq=2048,
+        "moe_7bshape": dict(rotary_bf16=True, hidden=2048, layers=4, heads=16, vocab=50304, seq=2048,
                             micro_bsz=4, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
                             model_type="INTERNLM_MoE", experts=8, top_k=2,
                             flops_mlp_ratio=16 / 3, save_mlp=False),
         # long-context kernel regression guard: flagship 7B dims at seq 8192
         # (one 8192-token segment), fwd+bwd only like 7bshape — catches splash
         # grid/window regressions the 2048-seq presets cannot see
-        "longseq": dict(hidden=4096, layers=4, heads=32, vocab=103168, seq=8192,
+        "longseq": dict(rotary_bf16=True, hidden=4096, layers=4, heads=32, vocab=103168, seq=8192,
                         micro_bsz=1, micro_num=1, ckpt=1.0, fwd_bwd_only=True,
                         save_mlp=True),
         "tiny": dict(hidden=256, layers=4, heads=4, vocab=1024, seq=512, micro_bsz=1, micro_num=2, ckpt=0.0),
