@@ -419,10 +419,10 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         # flow NaN-free through norm/gate/experts), and mask output + aux by
         # the activity flag.  Idle ticks pay wasted ffn flops on pipeline
         # bubbles only; active ticks compute exactly what gated() would.
-        ok = active.astype(ctx.dtype) if hasattr(active, "astype") else jnp.float32(active)
-        out, l_aux = post_attention(ctx * ok, residual * ok.astype(residual.dtype))
-        zero_out = jnp.zeros_like(out)
-        return (jnp.where(active, out, zero_out),
+        ctx_s = jnp.where(active, ctx, jnp.zeros_like(ctx))
+        res_s = jnp.where(active, residual, jnp.zeros_like(residual))
+        out, l_aux = post_attention(ctx_s, res_s)
+        return (jnp.where(active, out, jnp.zeros_like(out)),
                 jnp.where(active, l_aux, jnp.zeros_like(l_aux)))
     return gated(post_attention, ctx, residual)
 
