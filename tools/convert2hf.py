@@ -80,6 +80,11 @@ def main():
     }
     if args.format == "internlm":
         hf_config["bias"] = True  # HF InternLM1 carries qkv/o biases
+    if args.format == "llama":
+        # InternLM1-family exports carry qkv/o biases; HF llama accepts them
+        # behind attention_bias (defaults False otherwise)
+        hf_config["attention_bias"] = any(k.endswith("self_attn.q_proj.bias")
+                                          for k in sd)
     with open(os.path.join(args.out, "config.json"), "w") as f:
         json.dump(hf_config, f, indent=2)
     print(f"wrote {args.out}/pytorch_model.bin + config.json ({len(torch_sd)} tensors)")
