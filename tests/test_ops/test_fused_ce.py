@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.models import ModelConfig
 from internevo_tpu.models.base import init_params, model_forward
 from internevo_tpu.ops.attention import set_use_pallas

@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
 from jax.sharding import Mesh, PartitionSpec as P
 
 from internevo_tpu.ops.attention import attention_reference

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.heavy  # multi-minute tier; excluded by -m quick
+
 from internevo_tpu.ops.attention import attention_reference
 from internevo_tpu.ops.pallas.splash_attention import splash_attention
 
