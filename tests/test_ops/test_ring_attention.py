@@ -195,3 +195,28 @@ def test_ring_zigzag_odd_chunk_falls_back():
                                    rtol=2e-5, atol=2e-5)
     finally:
         set_use_pallas(None)
+
+
+def test_ring_bsd_layout_matches_oracle(monkeypatch):
+    """Ring legs through the BSD (B,S,H*D) splash layout: lse/cross_kv path
+    fwd AND grads must match the dense oracle (the ring calls
+    splash_attention_with_lse per rotated leg)."""
+    monkeypatch.setenv("IEVO_FLASH_BSD", "1")
+    mesh = _mesh()
+    q, k, v, seg = _data(D=64)
+    f = _ring_fn(mesh)
+    out = f(q, k, v, seg)
+    ref = attention_reference(q, k, v, segment_ids=seg, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def loss_ring(q, k, v):
+        return jnp.sum(jnp.sin(f(q, k, v, seg)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention_reference(q, k, v, segment_ids=seg, causal=True)))
+
+    g_r = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_d = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, c, name in zip(g_r, g_d, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-5,
+                                   atol=5e-5, err_msg=f"d{name}")
