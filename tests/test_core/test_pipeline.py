@@ -345,3 +345,19 @@ def test_pp2_tp4_gqa_group_kv_heads2():
         steps=2)
     np.testing.assert_allclose(losses_ref, losses_gqa, rtol=3e-4, atol=3e-5)
     np.testing.assert_allclose(gn_ref, gn_gqa, rtol=2e-3, atol=2e-4)
+
+
+def test_interleaved_pp2_chunks2_rsp2():
+    """Interleaved (virtual-chunk) schedule composed with RING sequence
+    parallelism: 8 layers over pp=2 x chunks=2 with rsp tp=2 must match the
+    dp baseline (the ring's must-execute collectives compose with the
+    chunk-interleaved lockstep ticks)."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4), model=dict(num_layers=4)),
+                        steps=2, n_devices=2)
+    losses_il, _ = _run(
+        _cfg(data=dict(micro_num=4), model=dict(num_layers=4, num_chunks=2),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+                           pipeline=dict(size=2), weight=dict(size=1))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
