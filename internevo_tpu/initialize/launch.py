@@ -67,7 +67,11 @@ def args_sanity_check() -> None:
     parallel.setdefault("sequence_parallel", parallel.tensor.mode in ("msp", "fsp", "isp", "rsp"))
     assert parallel.tensor.mode in ("mtp", "msp", "fsp", "isp", "rsp"), parallel.tensor.mode
     if parallel.weight.get("size", 1) > 1:
-        assert parallel.tensor.mode == "isp", "weight parallel requires isp (ref launch.py:383-384)"
+        # reference allows wp only with isp (launch.py:383-384); rsp is this
+        # rebuild's isp-like extension (weights gathered full at use, sequence
+        # sharded end-to-end) and shares the weight-storage machinery
+        assert parallel.tensor.mode in ("isp", "rsp"), \
+            "weight parallel requires an isp-like mode (isp or rsp)"
     # dropout semantics (reference SeedManager tp-offset streams,
     # core/context/random.py:16): residual dropout is supported on every GSPMD
     # topology — jax_threefry_partitionable makes the mask a function of the

@@ -361,3 +361,18 @@ def test_interleaved_pp2_chunks2_rsp2():
         steps=2,
     )
     np.testing.assert_allclose(losses_dp, losses_il, rtol=3e-4, atol=3e-5)
+
+
+def test_pp2_rsp2_wp2_weight_parallel():
+    """rsp + weight-parallel storage (beyond-reference composition): ring
+    sequence parallelism with wp=2-sharded weight storage through the
+    pipeline matches the dp baseline.  The reference ties wp to isp
+    (launch.py:383-384); rsp shares the isp just-in-time gather machinery."""
+    losses_dp, _ = _run(_cfg(data=dict(micro_num=4)), steps=2, n_devices=2)
+    losses_rw, _ = _run(
+        _cfg(data=dict(micro_num=4),
+             parallel=dict(zero1=dict(size=2), tensor=dict(size=2, mode="rsp"),
+                           pipeline=dict(size=2), weight=dict(size=2))),
+        steps=2,
+    )
+    np.testing.assert_allclose(losses_dp, losses_rw, rtol=3e-4, atol=3e-5)
