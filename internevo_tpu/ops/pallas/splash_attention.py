@@ -77,10 +77,11 @@ def _use_bsd(D: int) -> bool:
     env = os.environ.get("IEVO_FLASH_BSD")
     if env is not None:
         return env not in ("0", "false", "False")
-    # default OFF until measured on real TPU hardware: the axon tunnel died
-    # mid-round-5 before the first BSD compile finished (doc/perf_notes.md);
-    # interpret-mode correctness is fully covered by tests either way
-    return False
+    # default ON (measured round 5 on v5e, back-to-back A/B with golden-band
+    # losses: 700m 71.6 -> 72.35% MFU, 7bshape 84.19 -> 84.62, longseq
+    # 94.33 -> 95.66; doc/perf_notes.md).  IEVO_FLASH_BSD=0 restores the
+    # head-major path.
+    return True
 
 
 def _cdiv(a: int, b: int) -> int:
