@@ -12,9 +12,10 @@ standalone at the moe-bench fwd shape vs this kernel's 59 TF — 1.4x), and
 the stock megablox pallas kernel drowns its small default tiles in the ~3us
 fixed grid-step cost (8-30 TF measured).  This kernel takes the opposite
 corner of the design space, the same trade the splash kernel makes: BIG tiles
-(whole-K, whole-N blocks, 2048-row m-tiles — v5e has 128MB VMEM) so each grid
-step is one large MXU contraction, and a FLAT logical grid with scalar-
-prefetched metadata so zero-work (tile, group) pairs never become grid steps.
+(whole contraction dim, feature blocks as large as VMEM allows, up to
+2048-row m-tiles) so each grid step is one large MXU contraction, and a FLAT
+logical grid with scalar-prefetched metadata so zero-work (tile, group) pairs
+never become grid steps.
 (E2E note, `doc/perf_notes.md`: inside the full moe bench step XLA schedules
 ragged_dot to a similar effective rate, so the e2e A/B is a wash at the
 1024x2816 E=8 bench shapes; the standalone margin grows with E and hidden.)
@@ -30,6 +31,16 @@ consecutive — one enumeration serves all three products:
   exactly one group, so revisits write DISJOINT masked row ranges.
 - ``tgmm``  (wgrad): out tile indexed by group id; revisits accumulate the
   group's partial (K, N) products in f32 while the block stays VMEM-resident.
+
+Feature tiling (round 5): at 7B-class expert shapes the whole-K/whole-N
+design OOMs VMEM (measured: 155.95M of 128M at K=2048, N=5632 — 44M
+double-buffered weight window + 44M output window + ~52M f32 accumulator
+spill).  The output-feature dim is therefore tiled into ``fb``-wide blocks
+chosen by an explicit VMEM model (double buffering + accumulator + masked-x
+scratch); the grid becomes ``(F/fb, T)`` with the feature sweep OUTER so the
+flat logical grid's consecutive-revisit accumulation contract is preserved
+verbatim inside each sweep.  ``_plan`` picks (tm, fb) by minimizing modeled
+HBM traffic among all fitting candidates.
 
 Rows are padded to a tile multiple and assigned to the LAST group (padded x
 rows are zero, so they contribute nothing to any product).
@@ -49,11 +60,18 @@ from jax.experimental.pallas import tpu as pltpu
 _LANES = 128
 
 
+def _budget_bytes() -> int:
+    """Planning budget (headroom below the 128M physical VMEM for model
+    error: the compiler's accumulator spill and metadata aren't exact)."""
+    return int(os.environ.get("IEVO_GMM_VMEM_LIMIT_MB", "100")) * 2**20
+
+
 def _compiler_params(interpret: bool):
     if interpret:
         return None
-    return pltpu.CompilerParams(
-        vmem_limit_bytes=int(os.environ.get("IEVO_GMM_VMEM_LIMIT_MB", "100")) * 2**20)
+    # let the compiler use physical VMEM; _plan_* keeps the modeled usage
+    # under the (smaller) planning budget
+    return pltpu.CompilerParams(vmem_limit_bytes=128 * 2**20)
 
 
 def _metadata(group_sizes: jax.Array, n_pad: int, tm: int):
@@ -103,7 +121,7 @@ def _row_mask(row_start, row_end, tile, tm):
 
 def _gmm_kernel(tiles, groups, row_starts, row_ends, first_tile, _fg,
                 x_ref, w_ref, o_ref, *, tm, transpose_rhs):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     # padding entries of the T = m_tiles + E - 1 logical grid have empty row
     # ranges: skip their dot entirely (with balanced groups they are ~half
@@ -132,7 +150,7 @@ def _gmm_kernel(tiles, groups, row_starts, row_ends, first_tile, _fg,
 
 def _tgmm_kernel(tiles, groups, row_starts, row_ends, _ft, first_group,
                  x_ref, dy_ref, o_ref, *, tm):
-    t = pl.program_id(0)
+    t = pl.program_id(1)
 
     @pl.when(row_ends[t] > row_starts[t])
     def _work():
@@ -151,11 +169,57 @@ def _tgmm_kernel(tiles, groups, row_starts, row_ends, _ft, first_group,
             o_ref[0] += acc
 
 
-def _pick_tm(n: int) -> int:
-    for tm in (2048, 1024, 512, 256, 128):
-        if n >= tm:
-            return tm
-    return _LANES
+_TM_CANDIDATES = (2048, 1024, 512, 256, 128)
+
+
+def _fb_candidates(F: int):
+    """Lane-aligned divisors of the feature dim, descending (whole-F first)."""
+    return [fb for fb in range(F, _LANES - 1, -_LANES)
+            if fb % _LANES == 0 and F % fb == 0]
+
+
+def _plan_gmm(n: int, Kc: int, F: int, E: int, xb: int, wb: int, ob: int):
+    """Pick (tm, fb) for fwd/dgrad: whole-Kc contraction, fb-wide feature
+    blocks.  Fit model counts Pallas's 2-level window buffering, the f32
+    accumulator (lives in vregs/spill), and the masked-x scratch copy; among
+    fitting candidates the modeled HBM traffic is minimized."""
+    best = None
+    for tm in _TM_CANDIDATES:
+        if n < tm and tm != _TM_CANDIDATES[-1]:
+            continue
+        n_pad = ((n + tm - 1) // tm) * tm
+        T = n_pad // tm + E - 1
+        for fb in _fb_candidates(F):
+            vmem = (2 * tm * Kc * xb + 2 * Kc * fb * wb + 2 * tm * fb * ob
+                    + tm * fb * 4 + tm * Kc * xb)
+            if vmem >= _budget_bytes():
+                continue
+            sweeps = F // fb
+            traffic = (sweeps * (T * Kc * fb * wb + n_pad * Kc * xb)
+                       + n_pad * F * ob)
+            if best is None or traffic < best[0]:
+                best = (traffic, tm, fb)
+    return None if best is None else best[1:]
+
+
+def _plan_tgmm(n: int, K: int, N: int, E: int, xb: int, yb: int):
+    """Pick (tm, nb) for wgrad: whole-K rows-contraction, nb-wide dy/out
+    blocks.  The (1, K, nb) f32 output window double-buffers too."""
+    best = None
+    for tm in _TM_CANDIDATES:
+        if n < tm and tm != _TM_CANDIDATES[-1]:
+            continue
+        n_pad = ((n + tm - 1) // tm) * tm
+        for nb in _fb_candidates(N):
+            vmem = (2 * tm * K * xb + 2 * tm * nb * yb + 2 * K * nb * 4
+                    + K * nb * 4 + tm * K * xb)
+            if vmem >= _budget_bytes():
+                continue
+            sweeps = N // nb
+            traffic = sweeps * n_pad * (K * xb + nb * yb) + E * K * N * 4
+            if best is None or traffic < best[0]:
+                best = (traffic, tm, nb)
+    return None if best is None else best[1:]
 
 
 def _pad_rows(a, n_pad):
@@ -164,41 +228,54 @@ def _pad_rows(a, n_pad):
 
 
 def gmm_supported(n: int, K: int, N: int, E: int) -> bool:
-    """VMEM budget check for the no-inner-tiling design (whole K and N per
-    step).  Shapes beyond it (7B-class experts) should fall back to
-    ``lax.ragged_dot`` until an n/k-tiled variant lands."""
-    tm = _pick_tm(n)
-    fwd = tm * K * 2 + K * N * 2 + tm * N * 4
-    wgrad = tm * K * 2 + tm * N * 2 + K * N * 4
-    budget = 90 * 2**20
-    return (max(fwd, wgrad) < budget and K % _LANES == 0 and N % _LANES == 0
-            and E >= 2)
+    """True iff the fwd, dgrad, and wgrad legs all have a (tm, fb) plan
+    inside the VMEM budget (bf16 operands assumed — the production dtype).
+    Shapes beyond it should fall back to ``lax.ragged_dot``."""
+    if K % _LANES or N % _LANES or E < 2:
+        return False
+    return (_plan_gmm(n, K, N, E, 2, 2, 2) is not None        # fwd
+            and _plan_gmm(n, N, K, E, 2, 2, 2) is not None    # dgrad
+            and _plan_tgmm(n, K, N, E, 2, 2) is not None)     # wgrad
 
 
 def _gmm_call(x, w, group_sizes, *, transpose_rhs: bool, out_dtype,
               interpret: bool):
-    n, K_in = x.shape
+    n, _ = x.shape
     E = w.shape[0]
-    N_out = w.shape[1] if transpose_rhs else w.shape[2]
-    tm = _pick_tm(n)
+    # contraction dim / output-feature dim of THIS call (w stays (E, K, N))
+    Kc, F = (w.shape[2], w.shape[1]) if transpose_rhs else (w.shape[1], w.shape[2])
+    xb = jnp.dtype(x.dtype).itemsize
+    plan = _plan_gmm(n, Kc, F, E, xb, jnp.dtype(w.dtype).itemsize,
+                     jnp.dtype(out_dtype).itemsize)
+    if plan is None:
+        raise ValueError(
+            f"gmm: no (tm, fb) plan fits VMEM for n={n} Kc={Kc} F={F} E={E}; "
+            "guard the call site with gmm_supported() / use lax.ragged_dot")
+    tm, fb = plan
     n_pad = ((n + tm - 1) // tm) * tm
     xp = _pad_rows(x, n_pad)
     meta = _metadata(group_sizes, n_pad, tm)
     T = n_pad // tm + E - 1
 
+    if transpose_rhs:
+        w_spec = pl.BlockSpec((1, fb, Kc), lambda f, t, *s: (s[1][t], f, 0))
+    else:
+        w_spec = pl.BlockSpec((1, Kc, fb), lambda f, t, *s: (s[1][t], 0, f))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(T,),
+        # feature sweep OUTER: inside each sweep the flat logical grid keeps
+        # its consecutive-revisit accumulation contract
+        grid=(F // fb, T),
         in_specs=[
-            pl.BlockSpec((tm, K_in), lambda t, *s: (s[0][t], 0)),
-            pl.BlockSpec((1,) + w.shape[1:], lambda t, *s: (s[1][t], 0, 0)),
+            pl.BlockSpec((tm, Kc), lambda f, t, *s: (s[0][t], 0)),
+            w_spec,
         ],
-        out_specs=pl.BlockSpec((tm, N_out), lambda t, *s: (s[0][t], 0)),
+        out_specs=pl.BlockSpec((tm, fb), lambda f, t, *s: (s[0][t], f)),
     )
     out = pl.pallas_call(
         functools.partial(_gmm_kernel, tm=tm, transpose_rhs=transpose_rhs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_pad, N_out), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((n_pad, F), out_dtype),
         compiler_params=_compiler_params(interpret),
         interpret=interpret,
     )(*meta, xp, w)
@@ -208,7 +285,13 @@ def _gmm_call(x, w, group_sizes, *, transpose_rhs: bool, out_dtype,
 def _tgmm_call(x, dy, group_sizes, E, *, interpret: bool):
     n, K = x.shape
     N = dy.shape[1]
-    tm = _pick_tm(n)
+    plan = _plan_tgmm(n, K, N, E, jnp.dtype(x.dtype).itemsize,
+                      jnp.dtype(dy.dtype).itemsize)
+    if plan is None:
+        raise ValueError(
+            f"tgmm: no (tm, nb) plan fits VMEM for n={n} K={K} N={N} E={E}; "
+            "guard the call site with gmm_supported() / use lax.ragged_dot")
+    tm, nb = plan
     n_pad = ((n + tm - 1) // tm) * tm
     xp, dyp = _pad_rows(x, n_pad), _pad_rows(dy, n_pad)
     meta = _metadata(group_sizes, n_pad, tm)
@@ -216,12 +299,12 @@ def _tgmm_call(x, dy, group_sizes, E, *, interpret: bool):
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
-        grid=(T,),
+        grid=(N // nb, T),
         in_specs=[
-            pl.BlockSpec((tm, K), lambda t, *s: (s[0][t], 0)),
-            pl.BlockSpec((tm, N), lambda t, *s: (s[0][t], 0)),
+            pl.BlockSpec((tm, K), lambda f, t, *s: (s[0][t], 0)),
+            pl.BlockSpec((tm, nb), lambda f, t, *s: (s[0][t], f)),
         ],
-        out_specs=pl.BlockSpec((1, K, N), lambda t, *s: (s[1][t], 0, 0)),
+        out_specs=pl.BlockSpec((1, K, nb), lambda f, t, *s: (s[1][t], 0, f)),
     )
     out = pl.pallas_call(
         functools.partial(_tgmm_kernel, tm=tm),

@@ -71,9 +71,47 @@ def test_gmm_bf16_row_padding_and_boundaries():
 
 
 def test_gmm_supported_budget():
-    # moe-bench expert shapes fit; 7B-class expert blocks exceed the
-    # whole-K/whole-N VMEM budget and must route to ragged_dot
+    # moe-bench expert shapes fit whole-feature; realistic 7B-class expert
+    # blocks fit via feature tiling (round 5 — the whole-K/whole-N design
+    # VMEM-OOM'd at K=2048, N=5632, measured 155.95M of 128M)
     assert gmm_supported(16384, 1024, 2816, 8)
     assert gmm_supported(16384, 2816, 1024, 8)
-    assert not gmm_supported(16384, 4096, 11008, 8)
+    assert gmm_supported(16384, 2048, 5632, 8)   # moe_7bshape experts
+    assert gmm_supported(16384, 4096, 11008, 8)  # 7B-dim experts
     assert not gmm_supported(16384, 1000, 2816, 8)  # lane misalignment
+
+
+def test_gmm_feature_tiled_matches_ragged_dot():
+    # force multi-sweep plans (fb < F) through a small planning budget so the
+    # feature-tiled grid path is exercised in interpret mode; fwd and both
+    # grads must still match the ragged_dot oracle
+    import internevo_tpu.ops.pallas.gmm as gmm_mod
+
+    n, K, N, E = 640, 256, 512, 4
+    gs = jnp.asarray([200, 0, 240, 200], jnp.int32)
+    x, w, dy = _mk(n, K, N, E)
+
+    ref_out, f_r = jax.vjp(lambda x, w: _ref(x, w, gs), x, w)
+    plans = []
+    orig = gmm_mod._plan_gmm
+
+    def spy(*a, **k):
+        p = orig(*a, **k)
+        plans.append(p)
+        return p
+
+    gmm_mod._plan_gmm = spy
+    import os as _os
+    _os.environ["IEVO_GMM_VMEM_LIMIT_MB"] = "2"  # starve the budget -> tiling
+    try:
+        out, f_k = jax.vjp(lambda x, w: grouped_matmul(x, w, gs, True), x, w)
+        (dx_k, dw_k) = f_k(dy)
+    finally:
+        del _os.environ["IEVO_GMM_VMEM_LIMIT_MB"]
+        gmm_mod._plan_gmm = orig
+    # the starved budget must actually have produced a tiled fwd plan
+    assert plans[0] is not None and plans[0][1] < N
+    (dx_r, dw_r) = f_r(dy)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dx_k), np.asarray(dx_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dw_k), np.asarray(dw_r), atol=2e-3)
