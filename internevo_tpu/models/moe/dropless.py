@@ -32,7 +32,74 @@ from typing import Callable, Optional
 import jax
 import jax.numpy as jnp
 
+import functools
+
+import numpy as np
+
 from internevo_tpu.ops.pallas.gmm import gmm_supported, grouped_matmul
+
+
+def _inverse_permutation(order: jax.Array) -> jax.Array:
+    """inv[order[s]] = s — a unique-index scatter-set (cheap on TPU, unlike
+    the duplicated scatter-adds it helps remove)."""
+    return (jnp.zeros_like(order)
+            .at[order].set(jnp.arange(order.shape[0], dtype=order.dtype)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _expand_sorted(tokens, src, inv, k):
+    """Dispatch: replicate each token to its k sorted routing slots.
+
+    fwd is the natural gather ``tokens[src]`` (src = token id per sorted
+    slot); the custom bwd replaces AD's duplicated-index scatter-add (slow
+    sort-based lowering on TPU) with a permutation gather + k-way sum:
+    dtokens[t] = sum_r dg[slot(t, r)] = dg[inv].reshape(n, k, H).sum(1)."""
+    return jnp.take(tokens, src, axis=0)
+
+
+def _expand_fwd(tokens, src, inv, k):
+    return jnp.take(tokens, src, axis=0), inv
+
+
+def _expand_bwd(k, inv, dg):
+    n = inv.shape[0] // k
+    dt = jnp.take(dg, inv, axis=0).reshape(n, k, dg.shape[-1])
+    # dg.dtype == tokens.dtype (gather preserves dtype)
+    dt = jnp.sum(dt.astype(jnp.float32), axis=1).astype(dg.dtype)
+    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return dt, zero_i(inv), zero_i(inv)
+
+
+_expand_sorted.defvjp(_expand_fwd, _expand_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _combine_sorted(eo, scale_s, src, inv, k):
+    """Combine: weighted sum of each token's k expert outputs.
+
+    fwd gathers the scaled sorted rows back to flat (token, route) order and
+    sums the k routes (f32 accumulate); bwd is two gathers by ``src`` —
+    no duplicated-index scatter anywhere in the dispatch/combine pair."""
+    n = inv.shape[0] // k
+    x = jnp.take(eo * scale_s[:, None], inv, axis=0).reshape(n, k, eo.shape[-1])
+    return jnp.sum(x.astype(jnp.float32), axis=1).astype(eo.dtype)
+
+
+def _combine_fwd(eo, scale_s, src, inv, k):
+    return _combine_sorted(eo, scale_s, src, inv, k), (eo, scale_s, src, inv)
+
+
+def _combine_bwd(k, res, dout):
+    eo, scale_s, src, inv = res
+    d_sorted = jnp.take(dout, src, axis=0).astype(eo.dtype)   # (n*k, H) sorted
+    deo = d_sorted * scale_s[:, None].astype(eo.dtype)
+    dscale = jnp.sum(d_sorted.astype(jnp.float32)
+                     * eo.astype(jnp.float32), axis=-1).astype(scale_s.dtype)
+    zero_i = lambda a: np.zeros(a.shape, jax.dtypes.float0)
+    return deo, dscale, zero_i(src), zero_i(inv)
+
+
+_combine_sorted.defvjp(_combine_fwd, _combine_bwd)
 
 
 def _grouped_dot(x: jax.Array, w: jax.Array, group_sizes: jax.Array) -> jax.Array:
@@ -99,8 +166,9 @@ def dropless_moe_apply(
     flat_weight = top_probs.reshape(-1)
     # stable sort by expert; order within an expert preserved
     order = jnp.argsort(flat_expert, stable=True)
+    inv = _inverse_permutation(order)                          # flat slot -> sorted pos
     inv_token = order // top_k                                 # source token of each sorted slot
-    gathered = jnp.take(tokens, inv_token, axis=0)             # (n*k, H)
+    gathered = _expand_sorted(tokens, inv_token, inv, top_k)   # (n*k, H)
     group_sizes = jnp.bincount(flat_expert, length=E)
     exp_counts = jax.lax.psum(group_sizes, stat_axes) if stat_axes else group_sizes
 
@@ -110,9 +178,10 @@ def dropless_moe_apply(
     hidden = jax.nn.silu(h1) * h3
     expert_out = _grouped_dot(hidden, w2, group_sizes)
 
-    # combine: scatter-add scaled expert outputs back to their source tokens
-    scale = jnp.take(flat_weight, order).astype(expert_out.dtype)[:, None]
-    out = jnp.zeros((n, H), expert_out.dtype).at[inv_token].add(expert_out * scale)
+    # combine: gather each token's k scaled expert rows and sum (no
+    # duplicated-index scatter — see _combine_sorted)
+    scale = jnp.take(flat_weight, order).astype(expert_out.dtype)
+    out = _combine_sorted(expert_out, scale, inv_token, inv, top_k)
     return out.reshape(B, S, H), l_aux, exp_counts
 
 
@@ -210,9 +279,10 @@ def dropless_moe_apply_ep(
     flat_expert = top_idx.reshape(-1)
     flat_weight = top_probs.reshape(-1)
     order = jnp.argsort(flat_expert, stable=True)
+    inv = _inverse_permutation(order)
     inv_token = order // top_k
     sorted_expert = jnp.take(flat_expert, order)
-    gathered = jnp.take(tokens, inv_token, axis=0)          # (n*k, H)
+    gathered = _expand_sorted(tokens, inv_token, inv, top_k)   # (n*k, H)
     group_sizes = jnp.bincount(flat_expert, length=E)
 
     # ---- dispatch layout: sorted rows are contiguous per destination rank
@@ -255,8 +325,8 @@ def dropless_moe_apply_ep(
                    recv_offsets, recv_sizes, back_offsets, send_sizes,
                    axis_name=ep_axis)
 
-    scale = jnp.take(flat_weight, order).astype(returned.dtype)[:, None]
-    out = jnp.zeros((n, H), returned.dtype).at[inv_token].add(returned * scale)
+    scale = jnp.take(flat_weight, order).astype(returned.dtype)
+    out = _combine_sorted(returned, scale, inv_token, inv, top_k)
     # global per-expert counts (the reference logs exp_counts after its a2a)
     return out.reshape(B, S, H), l_aux, jax.lax.psum(group_sizes, red)
 
