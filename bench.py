@@ -94,10 +94,10 @@ def build_bench_config(preset: str):
     return presets[preset]
 
 
-def _parse_save_mlp(raw, default: float) -> float:
-    """IEVO_SAVE_MLP accepts a fraction ("0.5") or the legacy truthy strings
-    ("true"/"false"); anything else is a clear error instead of a ValueError
-    deep inside config build."""
+def _parse_save_mlp(raw, default: float, env: str = "IEVO_SAVE_MLP") -> float:
+    """IEVO_SAVE_MLP / IEVO_SAVE_QKV accept a fraction ("0.5") or the legacy
+    truthy strings ("true"/"false"); anything else is a clear error instead
+    of a ValueError deep inside config build."""
     if raw is None:
         return default
     lowered = raw.strip().lower()
@@ -109,7 +109,7 @@ def _parse_save_mlp(raw, default: float) -> float:
         return float(lowered)
     except ValueError:
         raise SystemExit(
-            f"IEVO_SAVE_MLP={raw!r}: expected a fraction in [0,1] or true/false")
+            f"{env}={raw!r}: expected a fraction in [0,1] or true/false")
 
 
 def build_full_config(p: dict) -> dict:
@@ -118,6 +118,11 @@ def build_full_config(p: dict) -> dict:
     model = dict(checkpoint=p["ckpt"], scan_unroll=int(os.environ.get("IEVO_SCAN_UNROLL", "1")),
                  remat_save_mlp=_parse_save_mlp(os.environ.get("IEVO_SAVE_MLP"),
                                                 default=1.0 if p.get("save_mlp") else 0.0),
+                 # save post-rotary q/k/v for this fraction of full-remat
+                 # layers: backward skips the wqkv+rotary recompute cluster
+                 remat_save_qkv=_parse_save_mlp(os.environ.get("IEVO_SAVE_QKV"),
+                                                default=1.0 if p.get("save_qkv") else 0.0,
+                                                env="IEVO_SAVE_QKV"),
                  rotary_bf16=os.environ.get("IEVO_ROTARY_BF16",
                                             "1" if p.get("rotary_bf16") else "0")
                              not in ("0", "false", "False"),

@@ -70,6 +70,13 @@ class ModelConfig:
     # the HBM cost is linear in the fraction, the recompute saving too).
     # bool True == 1.0 for config compatibility.
     remat_save_mlp: float = 0.0
+    # under full remat, additionally save the post-rotary q/k/v kernel
+    # operands for this FRACTION of the fully-rematted layers: the backward
+    # then feeds the splash bwd kernel directly instead of re-running the
+    # wqkv projection + rotary (the top non-matmul remat cluster at 700m,
+    # ~22 ms/step).  Costs (2 + Hkv/Hq) * tokens * hidden bf16 bytes per
+    # saved layer (~100 MB/layer at 700m-8k-token shapes).
+    remat_save_qkv: float = 0.0
     layer_norm_epsilon: float = 1e-5
     embed_grad_scale: float = 0.1
     parallel_output: bool = True
@@ -321,6 +328,13 @@ def attention_block(cfg: ModelConfig, layer: dict, x: jax.Array, positions: jax.
     sin = sin.astype(rot_dtype)
     q = apply_rotary(q, cos, sin, compute_dtype=rot_dtype)
     k = apply_rotary(k, cos, sin, compute_dtype=rot_dtype)
+    # name the kernel operands so remat_save_qkv layers keep them: the remat
+    # backward then skips the wqkv-projection + rotary recompute entirely
+    from jax.ad_checkpoint import checkpoint_name as _ckpt_name
+
+    q = _ckpt_name(q, "attn_q")
+    k = _ckpt_name(k, "attn_k")
+    v = _ckpt_name(v, "attn_v")
 
     attn_drop = cfg.attn_drop_rate if (train and attn_rng is not None) else 0.0
     drop_seed = (jax.random.bits(attn_rng, dtype=jnp.uint32).astype(jnp.int32)
@@ -510,10 +524,19 @@ def model_forward(
     # per such layer for 2*S*mlp_hidden*2 bytes/layer) — a partial-save tier
     # sized to whatever HBM headroom the optimizer state leaves.
     mlp_frac = min(1.0, max(0.0, float(cfg.remat_save_mlp)))
-    n_gates = int(round(min(n_ckpt, cfg.num_layers) * mlp_frac))
+    qkv_frac = min(1.0, max(0.0, float(cfg.remat_save_qkv)))
+    n_full = min(n_ckpt, cfg.num_layers)
+    n_gates = int(round(n_full * mlp_frac))
+    n_qkv = int(round(n_full * qkv_frac))
+    GATE_NAMES = ("mlp_w1o", "mlp_w3o")
+    QKV_NAMES = ("attn_q", "attn_k", "attn_v")
     full_policy = jax.checkpoint_policies.save_only_these_names(*save_names)
     gates_policy = jax.checkpoint_policies.save_only_these_names(
-        *save_names, "mlp_w1o", "mlp_w3o")
+        *save_names, *GATE_NAMES)
+    qkv_policy = jax.checkpoint_policies.save_only_these_names(
+        *save_names, *QKV_NAMES)
+    both_policy = jax.checkpoint_policies.save_only_these_names(
+        *save_names, *GATE_NAMES, *QKV_NAMES)
     if cfg.activation_offload:
         # keep the attention context, but in HOST memory (the reference's
         # activation-offload mode): backward re-runs everything except the
@@ -524,8 +547,11 @@ def model_forward(
             names_which_can_be_offloaded=["flash_ctx"],
             offload_src="device", offload_dst="pinned_host")
         n_gates = 0  # the offload policy already covers the gates choice
+        n_qkv = 0
     full = make_scan(lambda l, h, r: block_fn(l, h, r), full_policy)
     gates = make_scan(lambda l, h, r: block_fn(l, h, r), gates_policy)
+    qkv_seg = make_scan(lambda l, h, r: block_fn(l, h, r), qkv_policy)
+    both = make_scan(lambda l, h, r: block_fn(l, h, r), both_policy)
     light = make_scan(
         lambda l, h, r: block_fn(l, h, r),
         jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
@@ -539,11 +565,16 @@ def model_forward(
     # per-layer grad buffers in place, and partial unroll (2/3) loses ~5pp MFU
     # to extra live buffers while full unroll OOMs.  Keep 1 unless re-measured.
     unroll = cfg.scan_unroll if cfg.scan_unroll != 0 else cfg.num_layers
-    # layer order: [gates-saving full remat] [plain full remat] [light]
+    # layer order: [saves gates+qkv] [saves the larger single tier] [plain
+    # full remat] [light].  Both save fractions count from the front of the
+    # fully-rematted layers, so their overlap is the first min() of the two.
+    n_both = min(n_gates, n_qkv)
     segments = [
-        (n_gates, gates),
-        (min(n_ckpt, cfg.num_layers) - n_gates, full),
-        (cfg.num_layers - min(n_ckpt, cfg.num_layers), light),
+        (n_both, both),
+        (n_gates - n_both, gates),
+        (n_qkv - n_both, qkv_seg),
+        (n_full - max(n_gates, n_qkv), full),
+        (cfg.num_layers - n_full, light),
     ]
     lo = 0
     for count, body in segments:

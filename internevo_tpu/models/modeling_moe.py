@@ -170,29 +170,41 @@ def moe_model_forward(cfg: ModelConfig, params: dict, input_ids, positions, segm
         return (h_new, moe_loss + l_aux), None
 
     # honor model.checkpoint like model_forward: the first round(L * f) layers
-    # full-remat (flash residuals kept), the rest everything-cheap-saveable
+    # full-remat (flash residuals kept), the rest everything-cheap-saveable.
+    # remat_save_mlp / remat_save_qkv are FRACTIONS of the full-remat prefix
+    # (same tiering semantics as model_forward / _stage_blocks_apply); the
+    # mlp names cover the shared-expert dense branch — expert matmuls go
+    # through the grouped path and are always recomputed.
     n_ckpt = int(round(cfg.num_layers * cfg.checkpoint))
     save_names = ["flash_out", "flash_lse"]
-    if cfg.remat_save_mlp:
-        save_names += ["mlp_w1o", "mlp_w3o"]
+    GATE_NAMES = ("mlp_w1o", "mlp_w3o")
+    QKV_NAMES = ("attn_q", "attn_k", "attn_v")
+    n_gates = int(round(n_ckpt * min(1.0, max(0.0, float(cfg.remat_save_mlp)))))
+    n_qkv = int(round(n_ckpt * min(1.0, max(0.0, float(cfg.remat_save_qkv)))))
 
     def make_body(policy):
         return jax.checkpoint(lambda carry, xs: scan_body(carry, xs),
                               policy=policy, prevent_cse=False)
 
+    both = make_body(jax.checkpoint_policies.save_only_these_names(
+        *save_names, *GATE_NAMES, *QKV_NAMES))
+    single = make_body(jax.checkpoint_policies.save_only_these_names(
+        *save_names, *(GATE_NAMES if n_gates >= n_qkv else QKV_NAMES)))
     full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
     light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
     xs_all = (params["blocks"], jnp.arange(cfg.num_layers, dtype=jnp.int32))
     carry = (x, jnp.zeros((), jnp.float32))
-    if n_ckpt >= cfg.num_layers:
-        (x, moe_loss), _ = jax.lax.scan(full, carry, xs_all)
-    elif n_ckpt == 0:
-        (x, moe_loss), _ = jax.lax.scan(light, carry, xs_all)
-    else:
-        head_xs = jax.tree.map(lambda a: a[:n_ckpt], xs_all)
-        tail_xs = jax.tree.map(lambda a: a[n_ckpt:], xs_all)
-        carry, _ = jax.lax.scan(full, carry, head_xs)
-        (x, moe_loss), _ = jax.lax.scan(light, carry, tail_xs)
+    n_both = min(n_gates, n_qkv)
+    segments = [(both, 0, n_both), (single, n_both, max(n_gates, n_qkv)),
+                (full, max(n_gates, n_qkv), n_ckpt),
+                (light, n_ckpt, cfg.num_layers)]
+    for body_fn, lo, hi in segments:
+        if hi <= lo:
+            continue
+        seg_xs = (xs_all if (lo, hi) == (0, cfg.num_layers)
+                  else jax.tree.map(lambda a: a[lo:hi], xs_all))
+        carry, _ = jax.lax.scan(body_fn, carry, seg_xs)
+    x, moe_loss = carry
     # SUM of per-layer aux losses (reference no_pipeline_scheduler.py:134:
     # sum(moe_losses) * coeff — NOT the mean)
     if return_hidden:

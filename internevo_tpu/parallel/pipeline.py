@@ -33,6 +33,7 @@ import math
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _ckpt_name
 from jax.sharding import PartitionSpec as P
 
 from ..core.context import EP, PP, TP
@@ -147,6 +148,10 @@ def _manual_block(cfg: ModelConfig, tp: int, layer: dict, x, positions, segment_
     rot_dtype = jnp.bfloat16 if cfg.rotary_bf16 else jnp.float32
     q = apply_rotary(q, cos, sin, compute_dtype=rot_dtype)
     k = apply_rotary(k, cos, sin, compute_dtype=rot_dtype)
+    # remat_save_qkv residual names (see models/base.py attention_block)
+    q = _ckpt_name(q, "attn_q")
+    k = _ckpt_name(k, "attn_k")
+    v = _ckpt_name(v, "attn_v")
     attn_drop = cfg.attn_drop_rate if rng is not None else 0.0
     drop_seed = _attn_drop_seed(attn_drop, rng, tp, q.shape[2])
     ctx = flash_attention(q, k, v, segment_ids=segment_ids,
@@ -362,8 +367,9 @@ def _isp_block(cfg: ModelConfig, tp: int, layer: dict, x, positions_local,
         q, k, v = split_qkv(cfg, qkv)  # full head counts on the LOCAL seq chunk
         cos, sin = rope_frequencies(positions_local, cfg.head_dim, base=cfg.rope_base)
         rot_dtype = jnp.bfloat16 if cfg.rotary_bf16 else jnp.float32
-        return (apply_rotary(q, cos, sin, compute_dtype=rot_dtype),
-                apply_rotary(k, cos, sin, compute_dtype=rot_dtype), v, residual)
+        return (_ckpt_name(apply_rotary(q, cos, sin, compute_dtype=rot_dtype), "attn_q"),
+                _ckpt_name(apply_rotary(k, cos, sin, compute_dtype=rot_dtype), "attn_k"),
+                _ckpt_name(v, "attn_v"), residual)
 
     q, k, v, residual = gated(pre_attention, x)
     B, S_loc = q.shape[:2]
@@ -464,6 +470,11 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
     # full-remat layers, not all of them
     mlp_frac = min(1.0, max(0.0, float(cfg.remat_save_mlp)))
     n_gates = int(round(n_full * mlp_frac))
+    # remat_save_qkv: same per-stage fraction semantics — those layers also
+    # keep the post-rotary q/k/v so the backward skips the wqkv+rotary
+    # recompute (names set in models/base.py attention_block)
+    qkv_frac = min(1.0, max(0.0, float(cfg.remat_save_qkv)))
+    n_qkv = int(round(n_full * qkv_frac))
 
     def make_body(policy):
         wrapped = jax.checkpoint(body, policy=policy, prevent_cse=False)
@@ -480,8 +491,14 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
                 return (h, aux + a), None
         return sb
 
+    GATE_NAMES = ("mlp_w1o", "mlp_w3o")
+    QKV_NAMES = ("attn_q", "attn_k", "attn_v")
+    both_body = make_body(jax.checkpoint_policies.save_only_these_names(
+        *save_names, *GATE_NAMES, *QKV_NAMES))
     gates_body = make_body(jax.checkpoint_policies.save_only_these_names(
-        *save_names, "mlp_w1o", "mlp_w3o"))
+        *save_names, *GATE_NAMES))
+    qkv_body = make_body(jax.checkpoint_policies.save_only_these_names(
+        *save_names, *QKV_NAMES))
     full = make_body(jax.checkpoint_policies.save_only_these_names(*save_names))
     light = make_body(jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
@@ -491,10 +508,14 @@ def _stage_blocks_apply(cfg: ModelConfig, body, blocks_local, x, rng=None, layer
     if cfg.residual_in_fp32:
         x = x.astype(jnp.float32)
     carry = (x, jnp.zeros((), jnp.float32))
-    # three contiguous segments: [0, n_gates) full-remat + saved gates,
-    # [n_gates, n_full) full-remat, [n_full, L_local) light policy
-    segments = [(gates_body, 0, n_gates), (full, n_gates, n_full),
-                (light, n_full, L_local)]
+    # contiguous segments from the front of the full-remat prefix:
+    # [0, n_both) save gates+qkv, then the larger single-save tier up to
+    # max(n_gates, n_qkv), then plain full remat to n_full, then light
+    n_both = min(n_gates, n_qkv)
+    n_single = max(n_gates, n_qkv)
+    single_body = gates_body if n_gates >= n_qkv else qkv_body
+    segments = [(both_body, 0, n_both), (single_body, n_both, n_single),
+                (full, n_single, n_full), (light, n_full, L_local)]
     for body_fn, lo, hi in segments:
         if hi <= lo:
             continue

@@ -196,3 +196,27 @@ def test_activation_offload_matches_baseline():
     l1, g1 = loss(cfg_off)
     np.testing.assert_allclose(l0, l1, rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1)
+
+
+def test_remat_save_tiers_match_baseline():
+    """remat_save_qkv / remat_save_mlp fractions are memory/recompute knobs
+    only: every tier combination (both/single/full segment split) must be
+    numerically identical to plain full remat."""
+    import dataclasses
+
+    cfg = tiny_cfg(checkpoint=1.0)
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    ids, pos, seg = _batch(cfg, b=1)
+    labels = jnp.roll(ids, -1, axis=1)
+
+    def loss(c):
+        def f(p):
+            logits = model_forward(c, p, ids, pos, seg, train=True)
+            return cross_entropy_loss(logits.reshape(-1, c.vocab_size), labels.reshape(-1))[0]
+        return jax.value_and_grad(f)(params)
+
+    l0, g0 = loss(cfg)
+    for qkv, mlp in ((1.0, 0.0), (0.5, 0.0), (0.0, 1.0), (1.0, 1.0), (0.5, 0.25), (0.25, 0.5)):
+        l1, g1 = loss(dataclasses.replace(cfg, remat_save_qkv=qkv, remat_save_mlp=mlp))
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6, err_msg=f"qkv={qkv} mlp={mlp}")
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6), g0, g1)
