@@ -43,6 +43,12 @@ def build_bench_config(preset: str):
         "700m": dict(rotary_bf16=True, hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=4, micro_num=1, ckpt=1.0,
                      ce_chunk=8192),
         "700m_m2": dict(rotary_bf16=True, hidden=2048, layers=12, heads=16, vocab=50304, seq=2048, micro_bsz=2, micro_num=2, ckpt=1.0),
+        # grad-accumulation variant (the reference's own 7B config runs
+        # micro_num=4, configs/7B_sft.py:31): 4 micros per optimizer step
+        # amortize the ~26 ms full-param adam HBM floor over 4x the tokens;
+        # activation memory is per-micro so the footprint matches 700m
+        "700m_mn4": dict(rotary_bf16=True, hidden=2048, layers=12, heads=16, vocab=50304, seq=2048,
+                         micro_bsz=4, micro_num=4, ckpt=1.0, ce_chunk=8192),
         # 7B-shaped single-chip slice (hidden 4096, vocab 103168, 4 layers,
         # seq 4096 packed 2x2048): validates the splash kernel + fused CE at
         # flagship dimensions.  Full 7B adam state (14B/param) cannot fit one
